@@ -1,0 +1,438 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import graft.model.{ExtractedTurn, Section}
+
+/** Pure extraction core — zero Spark dependencies.
+  *
+  * This object is BOTH the single-threaded golden oracle and the code the
+  * Spark engine runs inside `mapPartitions`; determinism and
+  * parallelism-independence follow from purity (every function is total and
+  * depends only on its arguments).
+  *
+  * Semantics re-expressed from the reference (kjustin2016/Valere-OCR, under
+  * `/root/reference/Intelligent Document Design/`), NOT ported:
+  *  - tokenizer: `extract_words`, SearchingS3Buckets/S3searchFileContentByString.py:29-37
+  *  - segmenter: `structure_text`, MiscTestingScripts/Ethan_PDFandJPG3.py:125-156
+  *  - classifier: keyword-density scorer, Ethan_PDFandJPG3.py:584-619
+  *  - field banks: Ethan_PDFandJPG3.py:242-269, finalcodes/SignedAgreement.py:86-102,
+  *    Lauren_RX__JPG_Reader.py:254-316, MiscTestingScripts/insuranceID:201-213
+  *  - signature: `detect_signature`, Ethan_PDFandJPG3.py:487-523
+  *  - confidence: finalcodes/Facesheet.py:177-184 (A1) and
+  *    SignedAgreementFinalDB:180-206 (A2)
+  *  - merge precedence (pattern beats anchor): SignedAgreementFinalDB:237-261
+  */
+object Extract {
+
+  /** Max accepted payload size — reference caps input at 10 MiB
+    * (`Facesheet.py:24,94-95`); we use a character-count analog.
+    */
+  val MaxTextChars: Int = 10 * 1024 * 1024
+
+  // -------------------------------------------------------------------------
+  // Tokenizer (P4): lower-case word stream, drop tokens < 3 chars,
+  // dedupe, sort. Reference: S3searchFileContentByString.py:29-37.
+  // -------------------------------------------------------------------------
+  private val tokenSplit = Pattern.compile("[^a-z0-9]+")
+
+  def tokenize(text: String): Vector[String] =
+    if (text == null || text.isEmpty) Vector.empty
+    else
+      tokenSplit
+        .split(text.toLowerCase)
+        .iterator
+        .filter(_.length > 2)
+        .toVector
+        .distinct
+        .sorted
+
+  // -------------------------------------------------------------------------
+  // Boilerplate strip for HTML payloads — Boilerpipe/Trafilatura-style
+  // text-density / link-density block classifier (north rule). For
+  // non-HTML text this is the identity.
+  // -------------------------------------------------------------------------
+  private val tagPattern = Pattern.compile("(?is)<[^>]*>")
+  private val anchorPattern = Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a>")
+  private val blockSplitters =
+    Pattern.compile("(?is)</?(?:div|p|nav|footer|header|ul|ol|li|table|tr|h[1-6]|br|body|html|section|article|aside)[^>]*>")
+  private val scriptStyle =
+    Pattern.compile("(?is)<(script|style)\\b[^>]*>.*?</\\1>")
+
+  def isHtml(text: String): Boolean =
+    text.contains("<html") || text.contains("<body") || text.contains("<div") ||
+      text.contains("<p>") || text.contains("</a>")
+
+  private def stripTags(s: String): String =
+    tagPattern.matcher(s).replaceAll(" ").replaceAll("\\s+", " ").trim
+
+  /** Keep blocks whose link density < 0.35 and word count >= 5; join kept
+    * block texts with '\n'. Link density = chars inside <a> / total text
+    * chars of the block.
+    */
+  def stripBoilerplate(html: String): String = {
+    val noScript = scriptStyle.matcher(html).replaceAll(" ")
+    val blocks = blockSplitters.split(noScript).toVector
+    val kept = blocks.flatMap { raw =>
+      val m = anchorPattern.matcher(raw)
+      var linkChars = 0
+      while (m.find()) linkChars += stripTags(m.group(1)).length
+      val txt = stripTags(raw)
+      if (txt.isEmpty) None
+      else {
+        val words = txt.split("\\s+").count(_.nonEmpty)
+        val linkDensity =
+          if (txt.length == 0) 0.0 else linkChars.toDouble / txt.length
+        if (linkDensity < 0.35 && words >= 5) Some(txt) else None
+      }
+    }
+    kept.mkString("\n")
+  }
+
+  def extractText(text: String): String =
+    if (isHtml(text)) stripBoilerplate(text) else text
+
+  // -------------------------------------------------------------------------
+  // Section segmenter (P3 + C3). ALL-CAPS line (has a letter, equals its
+  // own upper-casing, <= 60 chars) opens a new section; blank line closes
+  // the current one; text before any header lands in "PARAGRAPH".
+  // -------------------------------------------------------------------------
+  def isAllCapsHeader(line: String): Boolean = {
+    val t = line.trim
+    t.nonEmpty && t.length <= 60 && t.exists(_.isLetter) &&
+    t == t.toUpperCase && !t.contains(":")
+  }
+
+  def segment(text: String): Vector[Section] = {
+    val out = Vector.newBuilder[Section]
+    var header = "PARAGRAPH"
+    val body = new StringBuilder
+    def flush(): Unit = {
+      if (body.nonEmpty) out += Section(header, body.result().trim)
+      body.clear()
+    }
+    for (line <- text.split("\n", -1)) {
+      if (isAllCapsHeader(line)) {
+        flush()
+        header = line.trim
+      } else if (line.trim.isEmpty) {
+        flush()
+        header = "PARAGRAPH"
+      } else {
+        if (body.nonEmpty) body.append('\n')
+        body.append(line)
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  // -------------------------------------------------------------------------
+  // Classifier (C1/C2): keyword-density scores with a fixed precedence
+  // ladder. Reference thresholds: insurance>=2 wins; prescription>=3 and
+  // > agreement; agreement>=2; else UNKNOWN (Ethan_PDFandJPG3.py:605-619).
+  // We add a FACESHEET class for the facesheet form shape.
+  // -------------------------------------------------------------------------
+  val insuranceKeywords: Vector[String] = Vector(
+    "member name", "member id", "bin", "rx pcn", "group no", "copay",
+    "insurance provider", "subscriber", "payer", "plan type", "rxgrp",
+    "effective date")
+  val prescriptionKeywords: Vector[String] = Vector(
+    "prescription", "breast pump", "icd-10", "qty", "refills", "physician",
+    "npi", "medical necessity", "length of need", "item description",
+    "diagnosis", "rx", "dispense")
+  val agreementKeywords: Vector[String] = Vector(
+    "agreement", "signed by customer", "signature", "terms and conditions",
+    "customer", "fecha", "firmado", "hereby", "consent")
+  val facesheetKeywords: Vector[String] = Vector(
+    "patient name", "mrn", "facesheet", "patient information", "guarantor",
+    "patient date of birth", "patient phone", "admit date")
+
+  def keywordScore(lowText: String, kws: Vector[String]): Int =
+    kws.count(lowText.contains)
+
+  def classify(text: String): String = {
+    val low = text.toLowerCase
+    val fs = keywordScore(low, facesheetKeywords)
+    val ins = keywordScore(low, insuranceKeywords)
+    val rx = keywordScore(low, prescriptionKeywords)
+    val ag = keywordScore(low, agreementKeywords)
+    if (fs >= 3 && fs >= ins) "FACESHEET"
+    else if (ins >= 2) "INSURANCE"
+    else if (rx >= 3 && rx > ag) "PRESCRIPTION"
+    else if (ag >= 2) "AGREEMENT"
+    else "UNKNOWN"
+  }
+
+  // -------------------------------------------------------------------------
+  // KV anchor extractor (KV1-KV3 semantics over text): `Key: Value` lines.
+  // Key normalized (P1): trim, drop leading "the ", drop trailing "?".
+  // First occurrence of a key wins (reference dict insert order).
+  // -------------------------------------------------------------------------
+  private val kvLine =
+    Pattern.compile("^([A-Za-z][A-Za-z0-9 .#/()'?-]{0,48}?)\\s*:\\s*(.*)$")
+
+  def normalizeKey(k: String): String = {
+    var s = k.trim
+    if (s.toLowerCase.startsWith("the ")) s = s.substring(4)
+    if (s.endsWith("?")) s = s.dropRight(1)
+    s.trim
+  }
+
+  def kvAnchors(text: String): Vector[(String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (line <- text.split("\n", -1)) {
+      val m = kvLine.matcher(line)
+      if (m.matches()) {
+        val k = normalizeKey(m.group(1))
+        if (k.nonEmpty && !seen.contains(k)) seen += k -> m.group(2).trim
+      }
+    }
+    seen.toVector
+  }
+
+  // -------------------------------------------------------------------------
+  // Regex field banks (R1-R11). Compiled once (object init); first match
+  // wins; ordered fallback via chains. Pattern result beats KV anchor for
+  // the same canonical field (merge precedence, SignedAgreementFinalDB:237-261).
+  // -------------------------------------------------------------------------
+  private def p(re: String) = Pattern.compile(re)
+
+  // R1 patient bank (Ethan_PDFandJPG3.py:242-256)
+  private val patientName =
+    p("(?i)(?:Mother|Patient)\\s*Name\\s*[:\\s]\\s*([^:\\n]+?)(?=\\s{2,}|\\n|$)")
+  private val patientDob =
+    p("(?i)(?:DOB|Date of Birth)\\s*[:\\s]\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
+  private val patientPhone =
+    p("(?i)Phone(?:\\s*Number)?\\s*[:\\s]\\s*(\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4})")
+  // R2 date banks — ordered fallback (priority then backup)
+  private val dateTimeFull = p(
+    "(?i)Date\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4}\\s+\\d{1,2}:\\d{2}\\s*(?:AM|PM|CMT)?)")
+  private val dateAnchored = p("(?i)(?:Date|Fecha)\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
+  private val dateBare = p("(\\d{2}/\\d{2}/\\d{4})")
+  // R3 signed-by bank + negative validation
+  private val signedBy =
+    p("(?i)(?:Signed by customer|Firmado por el cliente)\\s*:\\s*([^\\n]+)")
+  val excludedSignerPhrases: Vector[String] = Vector(
+    "date", "signature", "customer", "n/a", "none", "x")
+  // R4 ICD-10 — bullet-aware then plain then generic
+  private val icdBullet =
+    p("(?is)ICD-10\\s*Code\\(?s?\\)?.{0,40}?[\\u2022\\u2756\\u2605\\u2726\\u25CF\\u25A0\\u25AA]\\s*([A-Z]\\d+\\.\\d+)")
+  private val icdPlain = p("(?i)ICD-10\\s*Code\\(?s?\\)?\\s*:?\\s*([A-Z]\\d+\\.\\d+)")
+  private val icdGeneric = p("([A-Z]\\d+\\.\\d+)")
+  // R5 section-bounded checkbox items
+  private val necessitySection =
+    p("(?is)Section\\s+II\\.?\\s*Medical Necessity(.*?)(?:Section\\s+III|$)")
+  private val checkboxItem = p("(?m)^\\s*[X\\u2713]\\s*(\\d+)\\.\\s*([^\\n]+)")
+  // R6 tabular tri-group — deliberately case-SENSITIVE: with (?i) the
+  // negated class [^C] would also exclude lowercase 'c' ("Electric").
+  private val qtyTriGroup =
+    p("QTY\\s*(\\d+)\\s*([^C\\n]+?)\\s*Code\\s*(\\w+)")
+  private val lengthOfNeed = p("(?i)Length of Need\\s*:?\\s*(\\d+)")
+  // R9 unanchored entity sweep (phone) — note Java handles the reference's
+  // lazy `??` quantifier (data_extract_kailey.py:43) identically here.
+  private val phoneSweep =
+    p("(?:\\(\\d{3}\\)\\s*|\\b\\d{3}[-.\\s]?)\\d{3}[-.\\s]??\\d{4}\\b")
+  // R10 keyword presence → canonical value (Ethan_PDFandJPG3.py:258-269)
+  private val pumpPatterns = Vector(
+    "(?i)double\\s+electric\\s+breast\\s+pump",
+    "(?i)breast\\s+pump.{0,40}?double\\s+electric",
+    "(?i)E0603",
+    "(?i)pump\\s+depot").map(p)
+  // P9/P10 name helpers
+  private val physicianNpi =
+    p("(?i)Physicians?\\s*Name\\s*:\\s*([^\\n-]+?)\\s*(?:,\\s*MD)?\\s*-\\s*(\\d{6,10})")
+  private val memberNameId =
+    p("(?i)Member\\s*Name\\s+([A-Za-z .'-]+?)\\s+([A-Z]\\d{6,12})\\b")
+
+  def firstMatch(pat: Pattern, text: String, group: Int = 1): Option[String] = {
+    val m = pat.matcher(text)
+    if (m.find()) Option(m.group(group)).map(_.trim).filter(_.nonEmpty)
+    else None
+  }
+
+  def allMatches(pat: Pattern, text: String): Vector[String] = {
+    val m = pat.matcher(text)
+    val b = Vector.newBuilder[String]
+    while (m.find()) b += m.group(0)
+    b.result()
+  }
+
+  /** Name validation (R3): reject excluded phrases and lengths outside
+    * (2, 50). Reference: SignedAgreementFinalDB:151-163,238-243.
+    */
+  def validName(n: String): Boolean = {
+    val t = n.trim
+    t.length > 2 && t.length < 50 &&
+    !excludedSignerPhrases.contains(t.toLowerCase)
+  }
+
+  /** P9: split "Last, First" vs "First Last" into (first, last). */
+  def splitName(full: String): (String, String) = {
+    val t = full.trim
+    if (t.contains(",")) {
+      val parts = t.split(",", 2)
+      (parts(1).trim, parts(0).trim)
+    } else {
+      val parts = t.split("\\s+")
+      if (parts.length >= 2) (parts.dropRight(1).mkString(" "), parts.last)
+      else (t, "")
+    }
+  }
+
+  /** Tail window (P6/O2): last n lines of the text. */
+  def lastLines(text: String, n: Int): String = {
+    val lines = text.split("\n", -1)
+    lines.takeRight(n).mkString("\n")
+  }
+
+  // -------------------------------------------------------------------------
+  // Per-type field banks. Each returns fields in canonical-name space.
+  // -------------------------------------------------------------------------
+  def facesheetBank(text: String): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    firstMatch(patientName, text).foreach { v =>
+      b += "patient_name" -> v
+      val (f, l) = splitName(v)
+      b += "patient_first_name" -> f
+      b += "patient_last_name" -> l
+    }
+    firstMatch(patientDob, text).foreach(b += "patient_dob" -> _)
+    firstMatch(patientPhone, text).foreach(b += "patient_phone" -> _)
+    b.result()
+  }
+
+  def prescriptionBank(text: String): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    firstMatch(patientName, text).foreach(b += "patient_name" -> _)
+    firstMatch(patientDob, text).foreach(b += "patient_dob" -> _)
+    val icd = firstMatch(icdBullet, text)
+      .orElse(firstMatch(icdPlain, text))
+      .orElse(firstMatch(icdGeneric, text))
+    icd.foreach(b += "icd10" -> _)
+    firstMatch(necessitySection, text).foreach { sec =>
+      val m = checkboxItem.matcher(sec)
+      val items = Vector.newBuilder[String]
+      while (m.find()) items += m.group(2).trim
+      val v = items.result()
+      if (v.nonEmpty) b += "necessity_items" -> v.mkString("; ")
+    }
+    val tri = qtyTriGroup.matcher(text)
+    if (tri.find()) {
+      b += "qty" -> tri.group(1).trim
+      b += "item_description" -> tri.group(2).trim
+      b += "item_code" -> tri.group(3).trim
+    }
+    firstMatch(lengthOfNeed, text).foreach(b += "length_of_need" -> _)
+    if (pumpPatterns.exists(_.matcher(text).find()))
+      b += "pump_type" -> "Double Electric Breast Pump"
+    val phys = physicianNpi.matcher(text)
+    if (phys.find()) {
+      b += "physician_name" -> phys.group(1).trim
+      b += "physician_npi" -> phys.group(2).trim
+    }
+    b.result()
+  }
+
+  def agreementBank(text: String): Map[String, String] = {
+    // Reference applies the agreement bank to the last-15-lines window
+    // (SignedAgreementFinalDB:146-148).
+    val tail = lastLines(text, 15)
+    val b = Map.newBuilder[String, String]
+    firstMatch(signedBy, tail).filter(validName).foreach { v =>
+      b += "signed_by" -> v
+    }
+    val date = firstMatch(dateTimeFull, tail)
+      .orElse(firstMatch(dateAnchored, tail))
+      .orElse(firstMatch(dateBare, tail))
+    date.foreach(b += "signed_date" -> _)
+    b.result()
+  }
+
+  def insuranceBank(text: String): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    val m = memberNameId.matcher(text)
+    if (m.find()) {
+      b += "member_name" -> m.group(1).trim
+      b += "member_id" -> m.group(2).trim
+    }
+    b.result()
+  }
+
+  /** R9 entity sweep — all phone numbers anywhere in the text. */
+  def phoneNumbers(text: String): Vector[String] = allMatches(phoneSweep, text)
+
+  // -------------------------------------------------------------------------
+  // Signature detection (C4, text-indicator arm): reference
+  // `detect_signature` methods 3 ("signature"/"signed"//s/) and the
+  // "Signed by customer:" implication.
+  // -------------------------------------------------------------------------
+  def detectSignature(text: String): Boolean = {
+    val low = text.toLowerCase
+    low.contains("/s/") || low.contains("signed by customer") ||
+    low.contains("firmado por el cliente") || low.contains("signature:") ||
+    (low.contains("signature") && low.contains("signed"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Confidence (A1/A2).
+  // -------------------------------------------------------------------------
+  /** A1: (keyCount - emptyCount) / keyCount, 0.0 when empty map. */
+  def confidenceA1(fields: Map[String, String]): Double =
+    if (fields.isEmpty) 0.0
+    else {
+      val keyCount = fields.size
+      val emptyCount = fields.valuesIterator.count(_.isEmpty)
+      (keyCount - emptyCount).toDouble / keyCount
+    }
+
+  /** A2: 3-point — +1 per non-empty of {signed_by, signed_date, signature},
+    * /3, rounded to 2 decimals (half-up, matching Python round for these
+    * values: 0.0, 0.33, 0.67, 1.0).
+    */
+  def confidenceA2(fields: Map[String, String], sig: Boolean): Double = {
+    var pts = 0
+    if (fields.get("signed_by").exists(_.nonEmpty)) pts += 1
+    if (fields.get("signed_date").exists(_.nonEmpty)) pts += 1
+    if (sig) pts += 1
+    math.round(pts / 3.0 * 100.0) / 100.0
+  }
+
+  // -------------------------------------------------------------------------
+  // Fused per-turn extractor — the mapPartitions body and the oracle.
+  // -------------------------------------------------------------------------
+  def extractTurn(convId: String, turnIdx: Int, text: String): ExtractedTurn = {
+    if (text == null || text.isEmpty)
+      return ExtractedTurn(convId, turnIdx, "UNKNOWN", "", Vector.empty,
+        Map.empty, signature_present = false, 0.0, "failed:empty")
+    if (text.length > MaxTextChars)
+      return ExtractedTurn(convId, turnIdx, "UNKNOWN", "", Vector.empty,
+        Map.empty, signature_present = false, 0.0, "failed:oversize")
+    try {
+      val stripped = extractText(text)
+      val sections = segment(stripped)
+      val docType = classify(stripped)
+      val anchors = kvAnchors(stripped).toMap
+      val bank = docType match {
+        case "FACESHEET"    => facesheetBank(stripped)
+        case "PRESCRIPTION" => prescriptionBank(stripped)
+        case "AGREEMENT"    => agreementBank(stripped)
+        case "INSURANCE"    => insuranceBank(stripped)
+        case _              => Map.empty[String, String]
+      }
+      // Merge precedence: pattern-bank result beats KV anchor (§3.3).
+      val fields = anchors ++ bank
+      val sig = detectSignature(stripped)
+      val conf =
+        if (docType == "AGREEMENT") confidenceA2(bank, sig)
+        else confidenceA1(fields)
+      ExtractedTurn(convId, turnIdx, docType, stripped, sections, fields,
+        sig, conf, "ok")
+    } catch {
+      case e: Exception =>
+        // E1 quarantine: never abort the job on one bad row.
+        ExtractedTurn(convId, turnIdx, "UNKNOWN", "", Vector.empty,
+          Map.empty, signature_present = false, 0.0,
+          s"failed:${e.getClass.getSimpleName}")
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Input row of the transcripts table.
+  *
+  * Schema fixed per BASELINE.json input_hint:
+  * (conv_id:string, turn_idx:int, role:string, text:string, tool:string,
+  * ts:timestamp). Reference analog: one S3 object key + payload
+  * (reference `IDD/finalcodes/Facesheet.py:81-95`).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+/** One segmented section of a turn's text — reference `structure_text`
+  * (`IDD/MiscTestingScripts/Ethan_PDFandJPG3.py:125-156`): ALL-CAPS line
+  * opens a section, blank line closes it, default bucket PARAGRAPH.
+  */
+final case class Section(header: String, body: String)
+
+/** Output row of the extraction pipeline — the Spark-native form of the
+  * reference's `{document_data: map, confidence: {...}}` JSON rows
+  * (`IDD/finalcodes/Facesheet.py:157-184`).
+  */
+final case class ExtractedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    doc_type: String,
+    extracted_text: String,
+    sections: Seq[Section],
+    fields: Map[String, String],
+    signature_present: Boolean,
+    confidence: Double,
+    status: String
+)
+
+/** Per-partition lineage/metrics row (north rule: partition id, input
+  * files, turn count, success/failure counters). Reference analog: the
+  * run-summary JSON (`Ethan_PDFandJPG3.py:716-725`).
+  */
+final case class LineageRow(
+    run_id: String,
+    snapshot_id: Long,
+    partition_id: Int,
+    turn_count: Long,
+    ok_count: Long,
+    fail_count: Long
+)
