@@ -2,9 +2,24 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the full extraction pipeline (salted repartition → secondary
+    * sort → fused mapPartitions extract) over a small deterministic
+    * synthetic transcripts batch. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val turns = spark.range(0, 40, 1, 4).as[Long]
+      .mapPartitions(_.flatMap { c =>
+        val ci = c.toInt
+        (0 until graft.gen.TranscriptGen.convSize(ci, 64)).iterator
+          .map(t => graft.gen.TranscriptGen.turn(ci, t))
+      }).toDF()
+    graft.engine.ExtractJob
+      .extract(spark, turns, salted = true, saltBuckets = 8)
+      .toDF()
+      .select("conv_id", "turn_idx", "doc_type", "extracted_text", "fields",
+        "signature_present", "confidence", "status")
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

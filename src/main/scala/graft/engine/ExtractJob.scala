@@ -1,0 +1,141 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.Extract
+
+/** Internal row types carrying lineage columns alongside the semantic
+  * payload. `input_file` is captured at scan time (it does not survive a
+  * shuffle as a metadata function) and `partition_id` at extract time.
+  */
+final case class TurnRow(
+    conv_id: String, turn_idx: Int, role: String, text: String,
+    tool: String, ts: java.sql.Timestamp, input_file: String)
+
+final case class ResultRow(
+    conv_id: String, turn_idx: Int, doc_type: String, extracted_text: String,
+    sections: Seq[graft.model.Section], fields: Map[String, String],
+    signature_present: Boolean, confidence: Double, status: String,
+    partition_id: Int, input_file: String)
+
+/** The extraction pipeline (SURVEY.md §7): scan → [optional salted
+  * repartition] → sortWithinPartitions(conv_id, turn_idx) → fused
+  * mapPartitions extract → results + per-partition lineage, committed per
+  * snapshot for checkpoint-resume.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - The extract stage is NARROW: when the input is already bucketed by
+  *    conv_id (our table layout), `salted = false` runs scan→extract→write
+  *    with ZERO shuffles. `salted = true` adds exactly one shuffle keyed on
+  *    (conv_id, pmod(hash(turn_idx), salt)) — the salt splits a skewed
+  *    conversation (one conv with 10^6 turns) across `salt` tasks instead
+  *    of serializing one straggler.
+  *  - Classifier/regex state is compiled once per JVM (object init), not
+  *    per row — the mapPartitions batching the north rule asks for.
+  *  - Lineage is a per-partition rollup of the already-written results
+  *    (column-pruned scan of status only) — a KB-scale shuffle.
+  */
+object ExtractJob {
+
+  final case class Config(
+      tableDir: String,
+      outDir: String,
+      runId: String = "run-0",
+      salted: Boolean = false,
+      saltBuckets: Int = 16)
+
+  /** Core transform: Dataset-native, pure, partition-count independent. */
+  def extract(spark: SparkSession, turns: DataFrame, salted: Boolean,
+      saltBuckets: Int): Dataset[ResultRow] = {
+    import spark.implicits._
+    val withFile = turns.withColumn("input_file",
+      coalesce(input_file_name(), lit("")))
+    val parted =
+      if (salted)
+        withFile.repartition($"conv_id", pmod(hash($"turn_idx"), lit(saltBuckets)))
+      else withFile
+    parted
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+      .as[TurnRow]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map { t =>
+          val e = Extract.extractTurn(t.conv_id, t.turn_idx, t.text)
+          ResultRow(e.conv_id, e.turn_idx, e.doc_type, e.extracted_text,
+            e.sections, e.fields, e.signature_present, e.confidence,
+            e.status, pid, t.input_file)
+        }
+      }
+  }
+
+  /** Per-partition lineage rows (north rule): partition id, input files,
+    * turn/ok/fail counts. Computed from the written results so the counts
+    * describe exactly what was durably committed.
+    */
+  def lineage(spark: SparkSession, results: DataFrame, runId: String,
+      snapshotId: Long): DataFrame =
+    results
+      .groupBy(col("partition_id"))
+      .agg(
+        sort_array(collect_set(col("input_file"))).as("input_files"),
+        count(lit(1)).as("turn_count"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_count"),
+        sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("fail_count"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .select("run_id", "snapshot_id", "partition_id", "input_files",
+        "turn_count", "ok_count", "fail_count")
+
+  def commitMarker(outDir: String, snapshotId: Long): java.nio.file.Path =
+    Paths.get(s"$outDir/_commits/snapshot-$snapshotId.done")
+
+  def committedSnapshots(outDir: String): Set[Long] = {
+    val dir = Paths.get(s"$outDir/_commits")
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val re = """snapshot-(\d+)\.done""".r
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala.flatMap { p =>
+        re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong)
+      }.toSet
+    }
+  }
+
+  /** Process one snapshot: extract → write results → write lineage →
+    * atomic commit marker. Output paths are snapshot-scoped and written
+    * with overwrite, so a retry after a crash before the marker is
+    * idempotent (exactly-once per snapshot without ACID tables).
+    */
+  def runSnapshot(spark: SparkSession, cfg: Config,
+      snap: TranscriptsTable.SnapshotRef): Long = {
+    val turns = TranscriptsTable.readSnapshot(spark, snap)
+    val results = extract(spark, turns, cfg.salted, cfg.saltBuckets)
+    val resPath = s"${cfg.outDir}/results/snapshot=${snap.id}"
+    results.write.mode("overwrite").parquet(resPath)
+    val written = spark.read.parquet(resPath)
+    val lin = lineage(spark, written, cfg.runId, snap.id)
+    lin.write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
+    val n = written.count()
+    // temp+rename commit record — the resume checkpoint
+    val marker = commitMarker(cfg.outDir, snap.id)
+    Files.createDirectories(marker.getParent)
+    val tmp = Paths.get(marker.toString + ".tmp")
+    Files.writeString(tmp, s"""{"snapshot":${snap.id},"turns":$n}""")
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    n
+  }
+
+  /** Plan = registered snapshots minus committed ones; process the delta.
+    * Re-running after success is a no-op; re-running after a mid-job crash
+    * re-does only uncommitted snapshots.
+    */
+  def run(spark: SparkSession, cfg: Config): Seq[(Long, Long)] = {
+    val all = TranscriptsTable.readManifest(cfg.tableDir)
+    val done = committedSnapshots(cfg.outDir)
+    val pending = all.filterNot(s => done.contains(s.id)).sortBy(_.id)
+    pending.map(s => s.id -> runSnapshot(spark, cfg, s))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.TranscriptGen
+
+/** Iceberg-shaped table layer over plain Parquet (no Iceberg runtime in
+  * this environment — SURVEY.md §7). Emulates:
+  *   - bucket-by-conv_id layout: a computed `bucket = pmod(hash(conv_id), B)`
+  *     partition column, so all turns of a conversation are co-located and
+  *     the extract stage needs no shuffle;
+  *   - snapshots: each append writes parquet under `snapshot=<id>/bucket=<b>/`
+  *     and registers itself in `manifest.json` (written atomically via
+  *     temp+rename). Snapshot ids are the resume granularity (north rule).
+  *
+  * The interface stays Iceberg-shaped so a real iceberg-spark-runtime can
+  * replace this module without touching call sites.
+  */
+object TranscriptsTable {
+
+  final case class SnapshotRef(id: Long, path: String, nConvs: Int, convOffset: Int)
+
+  def manifestPath(baseDir: String): String = s"$baseDir/manifest.json"
+
+  /** Minimal JSON codec for the manifest (no JSON lib in the allowed deps). */
+  private def renderManifest(snaps: Seq[SnapshotRef]): String =
+    snaps
+      .map(s =>
+        s"""{"id":${s.id},"path":"${s.path}","nConvs":${s.nConvs},"convOffset":${s.convOffset}}""")
+      .mkString("[", ",", "]")
+
+  private val snapRe =
+    """\{"id":(\d+),"path":"([^"]*)","nConvs":(\d+),"convOffset":(\d+)\}""".r
+
+  def readManifest(baseDir: String): Seq[SnapshotRef] = {
+    val p = Paths.get(manifestPath(baseDir))
+    if (!Files.exists(p)) Seq.empty
+    else
+      snapRe
+        .findAllMatchIn(Files.readString(p))
+        .map(m => SnapshotRef(m.group(1).toLong, m.group(2), m.group(3).toInt, m.group(4).toInt))
+        .toSeq
+  }
+
+  private def writeManifest(baseDir: String, snaps: Seq[SnapshotRef]): Unit = {
+    val tmp = Paths.get(manifestPath(baseDir) + ".tmp")
+    Files.createDirectories(Paths.get(baseDir))
+    Files.writeString(tmp, renderManifest(snaps))
+    Files.move(tmp, Paths.get(manifestPath(baseDir)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Distributed snapshot write: conversations are generated ON EXECUTORS
+    * (one task per conv range — generation is a pure function of conv/turn
+    * index, so this scales to any cluster size), bucketed by conv_id and
+    * sorted by (conv_id, turn_idx) within each bucket file.
+    */
+  def appendSnapshot(
+      spark: SparkSession,
+      baseDir: String,
+      snapshotId: Long,
+      convOffset: Int,
+      nConvs: Int,
+      giantScale: Int = 256,
+      buckets: Int = 8): SnapshotRef = {
+    import spark.implicits._
+    val path = s"$baseDir/snapshot=$snapshotId"
+    val parallelism = math.max(spark.sparkContext.defaultParallelism, buckets)
+    val turns = spark
+      .range(convOffset, convOffset + nConvs, 1, parallelism)
+      .as[Long]
+      .mapPartitions(_.flatMap { c =>
+        val ci = c.toInt
+        (0 until TranscriptGen.convSize(ci, giantScale)).iterator
+          .map(t => TranscriptGen.turn(ci, t))
+      })
+    turns
+      .withColumn("bucket", pmod(hash($"conv_id"), lit(buckets)))
+      .repartition(buckets, $"bucket")
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+    val ref = SnapshotRef(snapshotId, path, nConvs, convOffset)
+    val existing = readManifest(baseDir).filterNot(_.id == snapshotId)
+    writeManifest(baseDir, (existing :+ ref).sortBy(_.id))
+    ref
+  }
+
+  /** Read one snapshot (bucket partition column dropped — it's layout,
+    * not data).
+    */
+  def readSnapshot(spark: SparkSession, snap: SnapshotRef): DataFrame =
+    spark.read.parquet(snap.path)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  /** Read every registered snapshot as one DataFrame. */
+  def readAll(spark: SparkSession, baseDir: String): DataFrame = {
+    val snaps = readManifest(baseDir)
+    require(snaps.nonEmpty, s"no snapshots registered under $baseDir")
+    spark.read.parquet(snaps.map(_.path): _*)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  def listBucketDirs(snapPath: String): Seq[String] =
+    Files.list(Paths.get(snapPath)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .map(_.toString).toSeq.sorted
+}
