@@ -20,9 +20,16 @@ object SparkEntry {
       .select("conv_id", "turn_idx", "doc_type", "extracted_text", "fields",
         "signature_present", "confidence", "status")
   }
+  /** The full catalog: operator-keyed queries + colocated DuckDB oracles. */
+  private def catalog: Seq[(String, graft.queries.Q.Entry)] =
+    graft.queries.CoreQueries.entries ++ graft.queries.DocQueries.entries
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (n, e) => n -> e.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (n, e) if e.oracle.isDefined => n -> e.oracle.get }.toMap
 }

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** UDF-free, codegen-friendly column functions for the text/dedup/
+  * similarity operators. Everything here compiles to Catalyst built-in
+  * expressions (higher-order array functions, regexp, hash) — no Scala
+  * closures on the hot path, so whole-stage codegen stays intact and the
+  * same expression is pushable/prunable at 100 TB.
+  */
+object TextFunctions {
+
+  /** P4 tokenizer as a pure expression: lowercase alnum tokens, len>2,
+    * distinct, sorted. Reference: S3searchFileContentByString.py:29-37.
+    */
+  def tokens(c: Column): Column =
+    array_sort(array_distinct(filter(
+      split(lower(c), "[^a-z0-9]+"), w => length(w) > 2)))
+
+  def tokenStr(c: Column): Column = array_join(tokens(c), " ")
+
+  /** Keyword-density score (C2): number of keywords contained in the
+    * lowered text. Fixed small keyword lists fold to a codegen'd chain.
+    */
+  def keywordScore(lowText: Column, kws: Seq[String]): Column =
+    kws.map(k => when(lowText.contains(k), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Deterministic polynomial rolling hash over the first `maxChars`
+    * characters — the document fingerprint. Kept under 2^63 via mod at
+    * every step so the arithmetic is portable across engines.
+    */
+  val HashMod = 1000000007L
+
+  def polyHash(c: Column, maxChars: Int): Column = {
+    val codes = transform(
+      sequence(lit(1), least(length(c), lit(maxChars))),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L), (acc, x) => pmod(acc * 31 + x, lit(HashMod)))
+  }
+
+  /** Same polynomial hash over a full string (token), with a salt seed —
+    * the MinHash family member h_s(token).
+    */
+  def polyHashStr(c: Column, seed: Long): Column = {
+    val codes = transform(
+      sequence(lit(1), length(c)),
+      i => ascii(c.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(seed % HashMod),
+      (acc, x) => pmod(acc * 131 + x, lit(HashMod)))
+  }
+
+  /** MinHash signature of a token array: for each of `k` salted hash
+    * functions, the minimum hash over the tokens. Returns array<long>.
+    */
+  def minHashSig(toks: Column, k: Int): Column = {
+    val hashes = (0 until k).map { s =>
+      array_min(transform(toks, t => polyHashStr(t, 0x9e3779b9L * (s + 1))))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH band key: the signature banded into groups of `rows` values,
+    * each band hashed to one long. Returns array<string> of band keys.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      concat_ws("-", lit(b.toString),
+        aggregate(slice(sig, b * rows + 1, rows), lit(0L),
+          (acc, x) => pmod(acc * 31 + x, lit(HashMod))).cast("string"))
+    }
+    array(keys: _*)
+  }
+
+  /** SimHash over tokens: 32-bit majority-vote fingerprint built from the
+    * per-token polynomial hashes (bit b weighted +1/-1).
+    */
+  def simHash(toks: Column, bits: Int = 32): Column = {
+    val th = transform(toks, t => polyHashStr(t, 0x85ebca6bL))
+    val bitCols = (0 until bits).map { b =>
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Character n-gram shingles (distinct, sorted) for near-dup detection. */
+  def shingles(c: Column, n: Int, maxChars: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(least(length(c), lit(maxChars)) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n)))))
+
+  // ---------------------------------------------------------------------
+  // Embedding math (double precision, sequential fold — deterministic and
+  // portable). Inputs are array<float>; cast element-wise first.
+  // ---------------------------------------------------------------------
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(aF: Column, bF: Column): Column = {
+    val a = toDouble(aF); val b = toDouble(bF)
+    dot(a, b) / (l2norm(a) * l2norm(b))
+  }
+
+  // ---------------------------------------------------------------------
+  // Text-analysis metrics (training-data pipeline operators).
+  // ---------------------------------------------------------------------
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), w => length(w) > 0))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(filter(split(c, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|(?<=[^a-zA-Z0-9])(?=.)|\\s+"),
+      w => length(trim(w)) > 0))
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,;:!?'\"()-]", ""))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Stopword hit ratio over whitespace tokens. */
+  val Stopwords: Seq[String] =
+    Seq("the", "and", "for", "with", "from", "that", "this", "are", "was")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = filter(split(lower(c), "[^a-z0-9]+"), w => length(w) > 0)
+    val hits = size(filter(toks, t =>
+      Stopwords.map(s => t === s).reduce((x, y) => x || y)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Quality score in [0,1]: length band + punctuation sanity + stopword
+    * presence (heuristic quality classifier for training-data filtering).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = when(length(c).between(100, 5000), 0.4)
+      .when(length(c).between(20, 10000), 0.2).otherwise(0.0)
+    val punctScore = when(punctRatio(c) < 0.1, 0.3).otherwise(0.1)
+    val stopScore = when(stopwordRatio(c) > 0.05, 0.3).otherwise(0.0)
+    round(lenScore + punctScore + stopScore, 2)
+  }
+
+  /** Language-ID by stopword-lexicon hits (n-gram heuristic analog):
+    * argmax over per-language scores with a deterministic tiebreak ladder.
+    */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "with", "from", "that"),
+    "es" -> Seq("el", "la", "los", "por", "con"),
+    "de" -> Seq("der", "die", "und", "mit", "von"),
+    "fr" -> Seq("le", "les", "des", "avec", "pour"))
+
+  def langId(c: Column): Column = {
+    val low = lower(c)
+    val toks = filter(split(low, "[^a-z]+"), w => length(w) > 0)
+    val scores = LangLexicons.map { case (lang, lex) =>
+      lang -> size(filter(toks, t => lex.map(s => t === s).reduce((x, y) => x || y)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+}

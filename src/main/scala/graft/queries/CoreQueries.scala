@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query catalog. */
+object Q {
+  type Fn = (SparkSession, String) => DataFrame
+  final case class Entry(fn: Fn, oracle: Option[String])
+
+  def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Core relational operators (scan/filter/project/join/agg/window/sort/
+  * limit/distinct) over the TPC-H-ish tables. Conventions for oracle
+  * parity with DuckDB:
+  *  - money sums go through DECIMAL casts (exact integer arithmetic on
+  *    both engines — no float summation-order drift);
+  *  - every ORDER BY carries a unique tiebreak;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object CoreQueries {
+  import Q._
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // A-analog — grouped aggregation with decimal-exact sums (TPC-H Q1 shape)
+    "q1_lineitem_agg" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-01"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_base_price"),
+            sum($"l_extendedprice".cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
+              .cast("decimal(28,4)").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // three-way join + agg + top-k (TPC-H Q3 shape); lineitem⋈orders is the
+    // big shuffle join, customer side filtered before the join
+    "q3_top_revenue" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val c = rd(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = rd(s, d, "orders")
+        val l = rd(s, d, "lineitem")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey")
+          .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
+            .cast("decimal(28,4)").as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // dimension joins — both sides broadcast (star-schema pattern)
+    "q_join_broadcast" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "customer")
+          .join(broadcast(rd(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(rd(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_acctbal"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_customers,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // EXISTS — left semi join
+    "q_semi_join" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val big = rd(s, d, "orders").filter($"o_totalprice" > 400000.0)
+        rd(s, d, "customer")
+          .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // NOT EXISTS — left anti join
+    "q_anti_join" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val big = rd(s, d, "orders").filter($"o_totalprice" > 400000.0)
+        rd(s, d, "customer")
+          .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // window function — top-3 orders per customer (O1 stable-order analog)
+    "q_window_topk" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        rd(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"rn", $"o_orderkey",
+            $"o_totalprice".cast("decimal(18,2)").as("price"))
+          .orderBy($"o_custkey", $"rn")
+          .limit(500)
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn LIMIT 500""".stripMargin)),
+
+    // global sort + limit (L1)
+    "q_sort_limit" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "orders")
+          .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+          .orderBy($"price".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // D1 — distinct
+    "q_distinct" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "orders")
+          .select($"o_orderstatus", $"o_orderpriority")
+          .distinct()
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // time-bucketed aggregation over the event stream table
+    "q_events_hourly" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // JSON-ish props field via regexp (portable, no JSON-path dialect drift)
+    "q_events_props_regex" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "events")
+          .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("int"))
+          .groupBy(pmod($"k", lit(10)).as("k_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"k_bucket")
+      },
+      Some("""SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) % 10 AS k_bucket,
+             |  count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
+  )
+}
