@@ -121,11 +121,12 @@ object TextFunctions {
     size(filter(split(c, "\\s+"), w => length(w) > 0))
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
-    * punctuation marks each count as one token.
+    * punctuation marks each count as one token. Expressed via
+    * regexp_extract_all (portable — no lookarounds) so the same pattern
+    * runs under both Java regex and RE2.
     */
   def bpeishTokenCount(c: Column): Column =
-    size(filter(split(c, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|(?<=[^a-zA-Z0-9])(?=.)|\\s+"),
-      w => length(trim(w)) > 0))
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Punctuation character ratio. */
   def punctRatio(c: Column): Column =

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.Extract
+
+/** End-to-end extractor gates: each query BUILDS document-shaped payloads
+  * (facesheet / prescription / agreement / insurance — FIXTURES.md §2)
+  * from deterministic string ops over the `documents` table, runs the REAL
+  * fused extractor (`Extract.extractTurn`, the exact code the production
+  * mapPartitions stage runs), and emits scalar fields. The DuckDB oracle
+  * reproduces the construction directly — ground truth by construction, so
+  * these rows gate classifier + banks + merge precedence + confidence of
+  * the actual pipeline code, not a SQL re-implementation of it.
+  */
+object XQueries {
+  import Q._
+
+  private def tok(text: Column, i: Int): Column = element_at(split(text, " "), i)
+  private def cap(c: Column): Column =
+    concat(upper(c.substr(lit(1), lit(1))), lower(c.substr(lit(2), lit(100))))
+  private val sqlTok1 = "string_split(text,' ')[1]"
+  private val sqlTok2 = "string_split(text,' ')[2]"
+  private def sqlCap(t: String) = s"upper(substr($t,1,1))||lower(substr($t,2))"
+
+  private def dateCol(id: Column): Column = concat(
+    lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0"), lit("/"),
+    lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0"), lit("/"),
+    (lit(1980) + pmod(id, lit(40))).cast("string"))
+
+  private val sqlDate =
+    "lpad(CAST(doc_id % 12 + 1 AS VARCHAR),2,'0')||'/'||lpad(CAST(doc_id % 28 + 1 AS VARCHAR),2,'0')||'/'||CAST(1980 + doc_id % 40 AS VARCHAR)"
+
+  /** Run the real extractor over (doc_id, payload) rows. */
+  private def runExtractor(s: SparkSession, df: DataFrame)(
+      project: graft.model.ExtractedTurn => Seq[Any],
+      schema: Seq[String]): DataFrame = {
+    import s.implicits._
+    val rows = df.select(col("doc_id").cast("long"), col("p"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val e = Extract.extractTurn(s"doc-$id", 0, text)
+        (id, project(e).map(String.valueOf))
+      })
+    // expand the stringly-projected values into named columns
+    val out = rows.select(
+      (col("_1").as("doc_id") +:
+        schema.zipWithIndex.map { case (n, i) =>
+          element_at(col("_2"), i + 1).as(n)
+        }): _*)
+    out.orderBy(col("doc_id"))
+  }
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // facesheet: classifier + KV anchors + patient bank + A1 confidence
+    "x_pipeline_facesheet" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val guarantor = when(pmod($"doc_id", lit(3)) === 0, lit(""))
+          .otherwise(concat(lit(" "), upper(tok($"text", 2))))
+        val payload = concat(
+          lit("PATIENT INFORMATION\nPatient Name: "),
+          upper(tok($"text", 1)), lit(", "), upper(tok($"text", 2)),
+          lit("\nPatient Date of Birth: "), dateCol($"doc_id"),
+          lit("\nPatient Phone Number: ("),
+          (lit(200) + pmod($"doc_id", lit(700))).cast("string"), lit(") 555-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+          lit("\nMRN: "), (lit(1000000) + $"doc_id").cast("string"),
+          lit("\nPatient insurance provider: Prov"),
+          pmod($"doc_id", lit(5)).cast("string"),
+          lit("\nGuarantor Name:"), guarantor)
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runExtractor(s, df)(
+          e => Seq(e.doc_type,
+            e.fields.getOrElse("patient_name", ""),
+            e.fields.getOrElse("patient_first_name", ""),
+            e.fields.getOrElse("patient_last_name", ""),
+            e.fields.getOrElse("patient_dob", ""),
+            e.fields.getOrElse("patient_phone", ""),
+            math.rint(e.confidence * 1e6) / 1e6),
+          Seq("doc_type", "patient_name", "patient_first_name",
+            "patient_last_name", "patient_dob", "patient_phone", "confidence"))
+      },
+      Some(s"""SELECT doc_id,
+              |  'FACESHEET' AS doc_type,
+              |  upper($sqlTok1)||', '||upper($sqlTok2) AS patient_name,
+              |  upper($sqlTok2) AS patient_first_name,
+              |  upper($sqlTok1) AS patient_last_name,
+              |  $sqlDate AS patient_dob,
+              |  '('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') AS patient_phone,
+              |  CAST(round((11 - CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) / 11.0, 6) AS VARCHAR) AS confidence
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // prescription: ICD chain + tri-group + canonical pump + NPI split
+    "x_pipeline_prescription" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("The Breast Pump Depot\nMother Name: "),
+          cap(tok($"text", 1)), lit(" "), cap(tok($"text", 2)),
+          lit("    DOB: "), dateCol($"doc_id"),
+          lit("\nSection II. Medical Necessity\nX 1. Mother expects regular separation from infant\n"),
+          lit("ICD-10 Code(s): Z39."), pmod($"doc_id", lit(9)).cast("string"),
+          lit("\nItem Description Code Length of Need\nQTY "),
+          (pmod($"doc_id", lit(3)) + 1).cast("string"),
+          lit(" Double Electric Breast Pump Code E0603\nLength of Need: "),
+          (pmod($"doc_id", lit(12)) + 1).cast("string"),
+          lit("\nPhysicians Name: "), upper(tok($"text", 1).substr(lit(1), lit(1))),
+          lit(". "), cap(tok($"text", 2)), lit(", MD - "),
+          (lit(1000000000L) + $"doc_id").cast("string"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runExtractor(s, df)(
+          e => Seq(e.doc_type,
+            e.fields.getOrElse("patient_name", ""),
+            e.fields.getOrElse("icd10", ""),
+            e.fields.getOrElse("qty", ""),
+            e.fields.getOrElse("item_code", ""),
+            e.fields.getOrElse("pump_type", ""),
+            e.fields.getOrElse("physician_name", ""),
+            e.fields.getOrElse("physician_npi", "")),
+          Seq("doc_type", "patient_name", "icd10", "qty", "item_code",
+            "pump_type", "physician_name", "physician_npi"))
+      },
+      Some(s"""SELECT doc_id,
+              |  'PRESCRIPTION' AS doc_type,
+              |  ${sqlCap(sqlTok1)}||' '||${sqlCap(sqlTok2)} AS patient_name,
+              |  'Z39.'||CAST(doc_id % 9 AS VARCHAR) AS icd10,
+              |  CAST(doc_id % 3 + 1 AS VARCHAR) AS qty,
+              |  'E0603' AS item_code,
+              |  'Double Electric Breast Pump' AS pump_type,
+              |  upper(substr($sqlTok1,1,1))||'. '||${sqlCap(sqlTok2)} AS physician_name,
+              |  CAST(1000000000 + doc_id AS VARCHAR) AS physician_npi
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // agreement: tail-window banks + signature + 3-point confidence (A2)
+    "x_pipeline_agreement" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val signer = concat(cap(tok($"text", 1)), lit(" "), cap(tok($"text", 2)))
+        val dt = dateCol($"doc_id")
+        val tail = when(pmod($"doc_id", lit(4)) === 0,
+            concat(lit("Date : "), dt, lit(" 07:04 CMT")))
+          .when(pmod($"doc_id", lit(4)) === 1,
+            concat(lit("Firmado por el cliente: "), signer, lit("\nFecha: "), dt))
+          .otherwise(concat(lit("Signed by customer: "), signer,
+            lit("\nDate : "), dt, lit(" 07:04 CMT")))
+        val payload = concat(
+          lit("CUSTOMER AGREEMENT\nThis agreement sets forth the terms and conditions of service.\n"),
+          tail)
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runExtractor(s, df)(
+          e => Seq(e.doc_type,
+            e.fields.getOrElse("signed_by", ""),
+            e.fields.getOrElse("signed_date", ""),
+            e.signature_present,
+            math.rint(e.confidence * 1e6) / 1e6),
+          Seq("doc_type", "signed_by", "signed_date", "signature_present",
+            "confidence"))
+      },
+      Some(s"""SELECT doc_id,
+              |  'AGREEMENT' AS doc_type,
+              |  CASE WHEN doc_id % 4 = 0 THEN ''
+              |       ELSE ${sqlCap(sqlTok1)}||' '||${sqlCap(sqlTok2)} END AS signed_by,
+              |  CASE WHEN doc_id % 4 = 1 THEN $sqlDate
+              |       ELSE $sqlDate||' 07:04 CMT' END AS signed_date,
+              |  CASE WHEN doc_id % 4 = 0 THEN 'false' ELSE 'true' END AS signature_present,
+              |  CASE WHEN doc_id % 4 = 0 THEN '0.33' ELSE '1.0' END AS confidence
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // insurance: member name/ID split + KV anchors + A1 confidence
+    "x_pipeline_insurance" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("Member Name "), upper(tok($"text", 1)), lit(" "),
+          upper(tok($"text", 2)), lit(" W"),
+          (lit(100000000) + pmod($"doc_id", lit(900000000))).cast("string"),
+          lit("\nBIN: "), (lit(600000) + pmod($"doc_id", lit(29999))).cast("string"),
+          lit("\nRx PCN: ADV\nGroup No: "),
+          (lit(10000) + pmod($"doc_id", lit(90000))).cast("string"),
+          lit("\nCopay: $"), (lit(5) + pmod($"doc_id", lit(45))).cast("string"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runExtractor(s, df)(
+          e => Seq(e.doc_type,
+            e.fields.getOrElse("member_name", ""),
+            e.fields.getOrElse("member_id", ""),
+            math.rint(e.confidence * 1e6) / 1e6),
+          Seq("doc_type", "member_name", "member_id", "confidence"))
+      },
+      Some(s"""SELECT doc_id,
+              |  'INSURANCE' AS doc_type,
+              |  upper($sqlTok1)||' '||upper($sqlTok2) AS member_name,
+              |  'W'||CAST(100000000 + doc_id % 900000000 AS VARCHAR) AS member_id,
+              |  '1.0' AS confidence
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // full generated-transcripts pipeline: classify/extract distribution
+    // (generator not expressible in SQL → rows-only gate; exact per-turn
+    // equality is covered by EngineSpec golden tests)
+    "x_e2e_extract" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val turns = s.range(0, 60, 1, 8).as[Long]
+          .mapPartitions(_.flatMap { c =>
+            val ci = c.toInt
+            (0 until graft.gen.TranscriptGen.convSize(ci, 128)).iterator
+              .map(t => graft.gen.TranscriptGen.turn(ci, t))
+          }).toDF()
+        graft.engine.ExtractJob.extract(s, turns, salted = true, saltBuckets = 8)
+          .groupBy($"doc_type", $"status")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"confidence"), 4).as("sum_conf"))
+          .orderBy($"doc_type", $"status")
+      },
+      None)
+  )
+}

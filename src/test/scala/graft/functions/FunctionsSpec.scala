@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.TextFunctions._
+
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("functions-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("minhash LSH finds planted near-duplicates (recall) without all-pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    // 20 unrelated docs + 3 planted near-dups of doc 0
+    val docs = (0 until 20).map(i => (i.toLong, base + s" unique$i marker$i extra$i")) ++
+      Seq((100L, base + " unique0 marker0 extra0 tail"),
+          (101L, base + " unique0 marker0"),
+          (102L, "completely different content about spark catalyst optimizer rules"))
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("sig", minHashSig($"toks", 6))
+      .withColumn("band", explode(lshBands($"sig", 3, 2)))
+    val a = df.select($"band", $"doc_id".as("id_a"), $"toks".as("toks_a"))
+    val b = df.select($"band", $"doc_id".as("id_b"), $"toks".as("toks_b"))
+    val pairs = a.join(b, Seq("band")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"toks_a", $"toks_b").distinct()
+      .withColumn("jac", jaccard($"toks_a", $"toks_b"))
+      .filter($"jac" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), s"planted near-dup (0,100) missed: $pairs")
+    assert(pairs.contains((0L, 101L)), s"planted near-dup (0,101) missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L),
+      "unrelated doc flagged as near-dup")
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+      (3L, "entirely unrelated words about catalyst expression codegen stage"))
+      .toDF("id", "text")
+      .select($"id", simHash(tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(rows(1L), rows(2L)) < hamming(rows(1L), rows(3L)),
+      s"simhash ordering wrong: ${rows.toSeq}")
+  }
+
+  test("cosine matches a hand-computed value in double precision") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(cosine($"a", $"b").as("c"))
+    val got = df.as[Double].head()
+    assert(math.abs(got - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("quality score and language id are stable and bounded") {
+    import spark.implicits._
+    val df = Seq(
+      "The quick brown fox and the lazy dog ran from the barn with that old cart wheel spinning.",
+      "der die und mit von der die und",
+      "zz")
+      .toDF("text")
+      .select(qualityScore($"text").as("q"), langId($"text").as("l"))
+      .as[(Double, String)].collect()
+    assert(df.forall { case (q, _) => q >= 0.0 && q <= 1.0 })
+    assert(df(0)._2 == "en")
+    assert(df(1)._2 == "de")
+    assert(df(2)._2 == "und")
+  }
+
+  test("polyHash is order-sensitive and deterministic") {
+    import spark.implicits._
+    val h = Seq("abc", "acb", "abc").toDF("t")
+      .select(polyHash($"t", 64).as("h")).as[Long].collect()
+    assert(h(0) == h(2) && h(0) != h(1))
+  }
+}
