@@ -9,14 +9,23 @@ import graft.extract.Extract
 /** Internal row types carrying lineage columns alongside the semantic
   * payload. `input_file` is captured at scan time (it does not survive a
   * shuffle as a metadata function) and `partition_id` at extract time.
+  *
+  * TurnSlim is the pruned hot-path row: the extractor is a function of
+  * (conv_id, turn_idx, text) only, so role/tool/ts are projected away
+  * BEFORE the shuffle — less shuffle I/O and no per-row Timestamp
+  * materialization in the deserializer.
   */
-final case class TurnRow(
-    conv_id: String, turn_idx: Int, role: String, text: String,
-    tool: String, ts: java.sql.Timestamp, input_file: String)
+final case class TurnSlim(
+    conv_id: String, turn_idx: Int, text: String, input_file: String)
 
+/** Flat sink-boundary row: `sections`/`fields` are canonical JSON strings
+  * (reference-faithful — the reference's sinks store JSON text — and ~20x
+  * cheaper to write than nested parquet groups; recover typed columns via
+  * `from_json` with [[ExtractJob.SectionsSchema]]/[[ExtractJob.FieldsSchema]]).
+  */
 final case class ResultRow(
     conv_id: String, turn_idx: Int, doc_type: String, extracted_text: String,
-    sections: Seq[graft.model.Section], fields: Map[String, String],
+    sections: String, fields: String,
     signature_present: Boolean, confidence: Double, status: String,
     partition_id: Int, input_file: String)
 
@@ -39,6 +48,16 @@ final case class ResultRow(
   */
 object ExtractJob {
 
+  /** Schemas for recovering typed columns from the JSON sink form:
+    * `from_json(col("sections"), SectionsSchema)` /
+    * `from_json(col("fields"), FieldsSchema)` — codegen'd Catalyst parse.
+    */
+  val SectionsSchema: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      "array<struct<header:string, start:int, len:int>>")
+  val FieldsSchema: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")
+
   final case class Config(
       tableDir: String,
       outDir: String,
@@ -46,26 +65,35 @@ object ExtractJob {
       salted: Boolean = false,
       saltBuckets: Int = 16)
 
-  /** Core transform: Dataset-native, pure, partition-count independent. */
+  /** Core transform: Dataset-native, pure, partition-count independent.
+    *
+    * @param presorted the input is our bucketed table read directly (rows
+    *        of each conversation are contiguous and sorted within every
+    *        file) — skip the secondary sort; each row-copy avoided matters
+    *        at 100 TB. Only valid with `salted = false`.
+    */
   def extract(spark: SparkSession, turns: DataFrame, salted: Boolean,
-      saltBuckets: Int): Dataset[ResultRow] = {
+      saltBuckets: Int, presorted: Boolean = false): Dataset[ResultRow] = {
     import spark.implicits._
-    val withFile = turns.withColumn("input_file",
-      coalesce(input_file_name(), lit("")))
+    val withFile = turns
+      .select(col("conv_id"), col("turn_idx"), col("text"),
+        coalesce(input_file_name(), lit("")).as("input_file"))
     val parted =
       if (salted)
         withFile.repartition($"conv_id", pmod(hash($"turn_idx"), lit(saltBuckets)))
       else withFile
-    parted
-      .sortWithinPartitions($"conv_id", $"turn_idx")
-      .as[TurnRow]
+    val ordered =
+      if (presorted && !salted) parted
+      else parted.sortWithinPartitions($"conv_id", $"turn_idx")
+    ordered
+      .as[TurnSlim]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         it.map { t =>
           val e = Extract.extractTurn(t.conv_id, t.turn_idx, t.text)
           ResultRow(e.conv_id, e.turn_idx, e.doc_type, e.extracted_text,
-            e.sections, e.fields, e.signature_present, e.confidence,
-            e.status, pid, t.input_file)
+            Extract.sectionsToJson(e.sections), Extract.fieldsToJson(e.fields),
+            e.signature_present, e.confidence, e.status, pid, t.input_file)
         }
       }
   }

@@ -102,14 +102,27 @@ object Extract {
     t == t.toUpperCase && !t.contains(":")
   }
 
+  /** Sections are emitted as spans into the input text (start/len of the
+    * trimmed body region) — identical semantics to body-copying (the body
+    * lines of a section are always contiguous in the input), without
+    * tripling the bytes carried per row.
+    */
   def segment(text: String): Vector[Section] = {
     val out = Vector.newBuilder[Section]
     var header = "PARAGRAPH"
-    val body = new StringBuilder
+    var bodyStart = -1
+    var bodyEnd = -1
     def flush(): Unit = {
-      if (body.nonEmpty) out += Section(header, body.result().trim)
-      body.clear()
+      if (bodyStart >= 0) {
+        // trim the span
+        var s = bodyStart; var e = bodyEnd
+        while (s < e && Character.isWhitespace(text.charAt(s))) s += 1
+        while (e > s && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+        if (e > s) out += Section(header, s, e - s)
+      }
+      bodyStart = -1; bodyEnd = -1
     }
+    var off = 0
     for (line <- text.split("\n", -1)) {
       if (isAllCapsHeader(line)) {
         flush()
@@ -118,9 +131,10 @@ object Extract {
         flush()
         header = "PARAGRAPH"
       } else {
-        if (body.nonEmpty) body.append('\n')
-        body.append(line)
+        if (bodyStart < 0) bodyStart = off
+        bodyEnd = off + line.length
       }
+      off += line.length + 1
     }
     flush()
     out.result()
@@ -395,6 +409,61 @@ object Extract {
     if (fields.get("signed_date").exists(_.nonEmpty)) pts += 1
     if (sig) pts += 1
     math.round(pts / 3.0 * 100.0) / 100.0
+  }
+
+  // -------------------------------------------------------------------------
+  // Canonical JSON forms for the sink boundary. The reference emits JSON
+  // text into its sinks (`json.dump`, Postgres json columns —
+  // finalcodes/Facesheet.py:157-196); we do the same: nested parquet
+  // writes of array<struct>/map cost ~20x a string column, so the results
+  // table stores these as canonical JSON strings and `from_json` recovers
+  // the typed form when needed. Keys sorted for determinism.
+  // -------------------------------------------------------------------------
+  private def jsonEscape(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  def fieldsToJson(fields: Map[String, String]): String = {
+    val sb = new StringBuilder(64)
+    sb.append('{')
+    var first = true
+    for ((k, v) <- fields.toSeq.sortBy(_._1)) {
+      if (!first) sb.append(',')
+      first = false
+      jsonEscape(sb, k); sb.append(':'); jsonEscape(sb, v)
+    }
+    sb.append('}')
+    sb.result()
+  }
+
+  def sectionsToJson(sections: Seq[Section]): String = {
+    val sb = new StringBuilder(64)
+    sb.append('[')
+    var first = true
+    for (s <- sections) {
+      if (!first) sb.append(',')
+      first = false
+      sb.append("{\"header\":"); jsonEscape(sb, s.header)
+      sb.append(",\"start\":").append(s.start)
+      sb.append(",\"len\":").append(s.len).append('}')
+    }
+    sb.append(']')
+    sb.result()
   }
 
   // -------------------------------------------------------------------------

@@ -21,8 +21,15 @@ final case class Turn(
 /** One segmented section of a turn's text — reference `structure_text`
   * (`IDD/MiscTestingScripts/Ethan_PDFandJPG3.py:125-156`): ALL-CAPS line
   * opens a section, blank line closes it, default bucket PARAGRAPH.
+  *
+  * The body is stored as a SPAN (start/len offsets into extracted_text),
+  * not a copy: at 100 TB the copies triple the result bytes and saturate
+  * memory bandwidth; `body(extractedText)` recovers the exact text.
   */
-final case class Section(header: String, body: String)
+final case class Section(header: String, start: Int, len: Int) {
+  def body(extractedText: String): String =
+    extractedText.substring(start, start + len)
+}
 
 /** Output row of the extraction pipeline — the Spark-native form of the
   * reference's `{document_data: map, confidence: {...}}` JSON rows

@@ -12,10 +12,13 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.tokenize(null) == Vector.empty)
   }
 
-  test("segmenter: ALL-CAPS headers open sections, blank line closes") {
-    val s = Extract.segment("intro line\nPATIENT INFORMATION\na: 1\nb: 2\n\ntrailing")
+  test("segmenter: ALL-CAPS headers open sections, blank line closes; spans recover bodies") {
+    val txt = "intro line\nPATIENT INFORMATION\na: 1\nb: 2\n\ntrailing"
+    val s = Extract.segment(txt)
     assert(s.map(_.header) == Vector("PARAGRAPH", "PATIENT INFORMATION", "PARAGRAPH"))
-    assert(s(1).body == "a: 1\nb: 2")
+    assert(s(0).body(txt) == "intro line")
+    assert(s(1).body(txt) == "a: 1\nb: 2")
+    assert(s(2).body(txt) == "trailing")
   }
 
   test("header detector rejects key:value and long lines") {
