@@ -195,6 +195,37 @@ object XQueries {
               |  '1.0' AS confidence
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // the native Catalyst expression path: extract_turn(text) as a scalar
+    // struct inside a codegen'd projection (same insurance construction
+    // as x_pipeline_insurance — same oracle ground truth)
+    "x_expr_extract_turn" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        graft.plans.ExtractTurnExpr.register(s)
+        val payload = concat(
+          lit("Member Name "), upper(tok($"text", 1)), lit(" "),
+          upper(tok($"text", 2)), lit(" W"),
+          (lit(100000000) + pmod($"doc_id", lit(900000000))).cast("string"),
+          lit("\nBIN: "), (lit(600000) + pmod($"doc_id", lit(29999))).cast("string"),
+          lit("\nRx PCN: ADV\nGroup No: "),
+          (lit(10000) + pmod($"doc_id", lit(90000))).cast("string"),
+          lit("\nCopay: $"), (lit(5) + pmod($"doc_id", lit(45))).cast("string"))
+        val et = call_function("extract_turn", payload)
+        rd(s, d, "documents")
+          .select($"doc_id",
+            et.getField("doc_type").as("doc_type"),
+            et.getField("signature_present").cast("string").as("signature_present"),
+            round(et.getField("confidence"), 6).cast("string").as("confidence"),
+            et.getField("status").as("status"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'INSURANCE' AS doc_type,
+             |  'false' AS signature_present,
+             |  '1.0' AS confidence,
+             |  'ok' AS status
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // full generated-transcripts pipeline: classify/extract distribution
     // (generator not expressible in SQL → rows-only gate; exact per-turn
     // equality is covered by EngineSpec golden tests)

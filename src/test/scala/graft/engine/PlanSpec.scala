@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan shape assertions: the optimizations the 100 TB design
+  * depends on must be visible in `explain`, not assumed — filter/column
+  * pushdown into the parquet scan, broadcast joins for dims, whole-stage
+  * codegen around the expression pipeline, and a shuffle-free extract
+  * stage on the presorted bucketed path.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan(graft.SparkEntry.queries("f_filters")(spark, sf))
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("IsNotNull(n_chars)") || p.contains("LessThanOrEqual(n_chars"),
+      "n_chars predicate not pushed:\n" + p.take(2000))
+    // projection pruned: the scan must not read the full row
+    assert(p.contains("ReadSchema"), p.take(500))
+    assert(!p.matches("(?s).*ReadSchema.*source.*"),
+      "unused column 'source' read by the scan")
+  }
+
+  test("dimension joins broadcast; no shuffle of the big side") {
+    val p = plan(graft.SparkEntry.queries("q_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("semi/anti joins plan as broadcast or shuffled hash joins, not cartesian") {
+    val semi = plan(graft.SparkEntry.queries("q_semi_join")(spark, sf))
+    val anti = plan(graft.SparkEntry.queries("q_anti_join")(spark, sf))
+    assert(semi.contains("LeftSemi"), semi.take(1000))
+    assert(anti.contains("LeftAnti"), anti.take(1000))
+    assert(!semi.contains("CartesianProduct") && !anti.contains("CartesianProduct"))
+  }
+
+  test("aggregation pipeline compiles to whole-stage codegen") {
+    // note: higher-order-function projections (ta_* queries) are
+    // interpreted by design — Spark has no codegen for array lambdas;
+    // the scan->agg pipelines must still fuse.
+    val df = graft.SparkEntry.queries("q1_lineitem_agg")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(id)" is the WholeStageCodegen marker in plan toString
+    assert(p.contains("*(") && p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("presorted bucketed extract is a narrow plan: zero shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
+    TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
+    val turns = TranscriptsTable.readAll(spark, dir)
+    val ds = ExtractJob.extract(spark, turns, salted = false, 4, presorted = true)
+    val p = plan(ds.toDF())
+    assert(!p.contains("Exchange"), "unexpected shuffle in presorted extract:\n" + p)
+    // salted mode has exactly one exchange (the explicit skew-handling shuffle)
+    val salted = plan(ExtractJob.extract(spark, turns, salted = true, 4).toDF())
+    assert("Exchange".r.findAllIn(salted).size >= 1)
+  }
+}
