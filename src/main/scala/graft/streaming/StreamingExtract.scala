@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Turn
+
+/** Structured Streaming face of the engine.
+  *
+  * The reference is batch-only (SURVEY.md §2.10) and the north rule asks
+  * for batch snapshot-resume, which `ExtractJob` provides. This module
+  * adds the streaming ingest path a production deployment of the same
+  * engine would use: the SAME pure extractor applied per micro-batch, a
+  * watermarked windowed quality rollup, and stateful per-conversation
+  * sessionization via mapGroupsWithState — all over the identical
+  * transcripts schema, so batch and streaming share one code path.
+  */
+object StreamingExtract {
+
+  /** Per-turn extraction on a stream: identical semantics to the batch
+    * job (same pure function), exactly-once per micro-batch under
+    * checkpointing.
+    */
+  def extractStream(spark: SparkSession, turns: DataFrame): DataFrame = {
+    import spark.implicits._
+    turns.as[Turn].map { t =>
+      val e = graft.extract.Extract.extractTurn(t.conv_id, t.turn_idx, t.text)
+      (e.conv_id, e.turn_idx, e.doc_type, e.confidence, e.status, t.ts)
+    }.toDF("conv_id", "turn_idx", "doc_type", "confidence", "status", "ts")
+  }
+
+  /** Watermarked tumbling-window rollup: doc-type mix and mean confidence
+    * per 10-minute window (the streaming analog of the lineage rollup).
+    */
+  def windowedQuality(extracted: DataFrame): DataFrame =
+    extracted
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("doc_type"))
+      .agg(count(lit(1)).as("n_turns"),
+        avg(col("confidence")).as("mean_confidence"))
+
+  final case class ConvState(turns: Long, okTurns: Long, lastIdx: Int)
+  final case class ConvSummary(conv_id: String, turns: Long, ok_turns: Long,
+      last_idx: Int, gap_detected: Boolean)
+
+  /** Stateful per-conversation tracker (mapGroupsWithState): running
+    * turn/ok counters and turn_idx-gap detection per conv_id.
+    */
+  def sessionize(spark: SparkSession, extracted: DataFrame): Dataset[ConvSummary] = {
+    import spark.implicits._
+    extracted
+      .select("conv_id", "turn_idx", "status")
+      .as[(String, Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConvState, ConvSummary](GroupStateTimeout.NoTimeout) {
+        case (convId, rows, state: GroupState[ConvState]) =>
+          val prev = state.getOption.getOrElse(ConvState(0, 0, -1))
+          val sorted = rows.toSeq.sortBy(_._2)
+          var gap = false
+          var last = prev.lastIdx
+          var ok = prev.okTurns
+          sorted.foreach { case (_, idx, status) =>
+            if (idx != last + 1) gap = gap || last >= 0
+            last = idx
+            if (status == "ok") ok += 1
+          }
+          val next = ConvState(prev.turns + sorted.size, ok, last)
+          state.update(next)
+          ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap)
+      }
+  }
+}

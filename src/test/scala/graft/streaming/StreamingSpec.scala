@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.gen.TranscriptGen
+import graft.model.Turn
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming extraction matches the batch oracle per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val turns = TranscriptGen.turns(8, 16).toVector
+    val extracted = StreamingExtract.extractStream(spark, input.toDF())
+    val q = extracted.writeStream
+      .format("memory").queryName("ext_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    input.addData(turns.take(20))
+    q.processAllAvailable()
+    input.addData(turns.drop(20))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ext_out")
+      .select("conv_id", "turn_idx", "doc_type", "confidence", "status")
+      .as[(String, Int, String, Double, String)]
+      .collect().sortBy(r => (r._1, r._2)).toVector
+    val want = turns.map { t =>
+      val e = graft.extract.Extract.extractTurn(t.conv_id, t.turn_idx, t.text)
+      (e.conv_id, e.turn_idx, e.doc_type, e.confidence, e.status)
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
+  test("watermarked windowed rollup and stateful sessionization run on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val extracted = StreamingExtract.extractStream(spark, input.toDF())
+    val rollup = StreamingExtract.windowedQuality(extracted)
+    val q1 = rollup.writeStream.format("memory").queryName("roll_out")
+      .outputMode(OutputMode.Update()).start()
+    val sess = StreamingExtract.sessionize(spark, extracted)
+    val q2 = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update()).start()
+    val turns = TranscriptGen.turns(5, 16).toVector
+    input.addData(turns)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    // second batch exercises state continuation
+    input.addData(turns.take(3).map(t => t.copy(turn_idx = t.turn_idx + 1000)))
+    q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    assert(spark.table("roll_out").count() > 0)
+    val sessRows = spark.table("sess_out")
+      .as[StreamingExtract.ConvSummary].collect()
+    assert(sessRows.nonEmpty)
+    val c0 = sessRows.filter(_.conv_id == "conv-00000000").maxBy(_.turns)
+    assert(c0.turns > 0 && c0.ok_turns <= c0.turns)
+    assert(c0.gap_detected, "the +1000 turn_idx jump must flag a gap")
+  }
+}

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingExtract
+
+/** Diagnostic: drive the streaming pipeline over a real parquet file
+  * source (readStream), not a MemoryStream.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.streaming.schemaInference", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("sp").toString
+    graft.engine.TranscriptsTable.appendSnapshot(spark, s"$dir/t", 1, 0, 20, 32, 2)
+    val src = spark.readStream
+      .schema(graft.engine.TranscriptsTable.readAll(spark, s"$dir/t").schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/t/snapshot=1")
+    val extracted = StreamingExtract.extractStream(spark, src)
+    val q = StreamingExtract.windowedQuality(extracted)
+      .writeStream.format("memory").queryName("probe_out")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    spark.table("probe_out").orderBy("doc_type").show(20, truncate = false)
+    println("PROBE_ROWS=" + spark.table("probe_out").count())
+    spark.stop()
+  }
+}
