@@ -139,13 +139,18 @@ object ExtractJob {
   def runSnapshot(spark: SparkSession, cfg: Config,
       snap: TranscriptsTable.SnapshotRef): Long = {
     val turns = TranscriptsTable.readSnapshot(spark, snap)
-    val results = extract(spark, turns, cfg.salted, cfg.saltBuckets)
+    // the snapshot read IS the bucketed sorted layout -> presorted path
+    // (zero shuffle, no secondary-sort row copy) unless salting is on
+    val results = extract(spark, turns, cfg.salted, cfg.saltBuckets,
+      presorted = !cfg.salted)
     val resPath = s"${cfg.outDir}/results/snapshot=${snap.id}"
     results.write.mode("overwrite").parquet(resPath)
     val written = spark.read.parquet(resPath)
     val lin = lineage(spark, written, cfg.runId, snap.id)
     lin.write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
-    val n = written.count()
+    // turn count from the (tiny) lineage table, not a second results scan
+    val n = spark.read.parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
+      .agg(sum("turn_count")).head().getLong(0)
     // temp+rename commit record — the resume checkpoint
     val marker = commitMarker(cfg.outDir, snap.id)
     Files.createDirectories(marker.getParent)

@@ -42,9 +42,12 @@ object ExtractMain {
       val per = math.max(1, nConvs / nSnaps)
       var off = 0
       for (s <- 1 to nSnaps) {
-        val n = if (s == nSnaps) nConvs - off else per
-        TranscriptsTable.appendSnapshot(spark, tableDir, s, off, n, giant, buckets)
-        off += n
+        val n = if (s == nSnaps) math.max(0, nConvs - off)
+                else math.min(per, math.max(0, nConvs - off))
+        if (n > 0) {
+          TranscriptsTable.appendSnapshot(spark, tableDir, s, off, n, giant, buckets)
+          off += n
+        }
       }
       println(s"[gen] wrote $nSnaps snapshot(s), $nConvs conversations under $tableDir")
     }

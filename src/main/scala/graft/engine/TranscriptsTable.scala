@@ -105,8 +105,4 @@ object TranscriptsTable {
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
   }
 
-  def listBucketDirs(snapPath: String): Seq[String] =
-    Files.list(Paths.get(snapPath)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .map(_.toString).toSeq.sorted
 }

@@ -211,28 +211,42 @@ object Extract {
   // -------------------------------------------------------------------------
   private def p(re: String) = Pattern.compile(re)
 
+  // Pattern SOURCE STRINGS are public: the oracle-gated column queries
+  // (graft.queries.DocQueries) reuse the exact same regex text, so an
+  // extractor pattern change cannot silently diverge from its gate.
   // R1 patient bank (Ethan_PDFandJPG3.py:242-256)
-  private val patientName =
-    p("(?i)(?:Mother|Patient)\\s*Name\\s*[:\\s]\\s*([^:\\n]+?)(?=\\s{2,}|\\n|$)")
-  private val patientDob =
-    p("(?i)(?:DOB|Date of Birth)\\s*[:\\s]\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
-  private val patientPhone =
-    p("(?i)Phone(?:\\s*Number)?\\s*[:\\s]\\s*(\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4})")
+  val PatientNameRe =
+    "(?i)(?:Mother|Patient)\\s*Name\\s*[:\\s]\\s*([^:\\n]+?)(?=\\s{2,}|\\n|$)"
+  val PatientDobRe =
+    "(?i)(?:DOB|Date of Birth)\\s*[:\\s]\\s*(\\d{1,2}/\\d{1,2}/\\d{4})"
+  val PatientPhoneRe =
+    "(?i)Phone(?:\\s*Number)?\\s*[:\\s]\\s*(\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4})"
   // R2 date banks — ordered fallback (priority then backup)
-  private val dateTimeFull = p(
-    "(?i)Date\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4}\\s+\\d{1,2}:\\d{2}\\s*(?:AM|PM|CMT)?)")
-  private val dateAnchored = p("(?i)(?:Date|Fecha)\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
-  private val dateBare = p("(\\d{2}/\\d{2}/\\d{4})")
+  val DateTimeFullRe =
+    "(?i)Date\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4}\\s+\\d{1,2}:\\d{2}\\s*(?:AM|PM|CMT)?)"
+  val DateAnchoredRe = "(?i)(?:Date|Fecha)\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4})"
+  val DateBareRe = "(\\d{2}/\\d{2}/\\d{4})"
   // R3 signed-by bank + negative validation
-  private val signedBy =
-    p("(?i)(?:Signed by customer|Firmado por el cliente)\\s*:\\s*([^\\n]+)")
+  val SignedByRe =
+    "(?i)(?:Signed by customer|Firmado por el cliente)\\s*:\\s*([^\\n]+)"
+  // R4 ICD-10 — bullet-aware then plain then generic
+  val IcdBulletRe =
+    "(?is)ICD-10\\s*Code\\(?s?\\)?.{0,40}?[\\u2022\\u2756\\u2605\\u2726\\u25CF\\u25A0\\u25AA]\\s*([A-Z]\\d+\\.\\d+)"
+  val IcdPlainRe = "(?i)ICD-10\\s*Code\\(?s?\\)?\\s*:?\\s*([A-Z]\\d+\\.\\d+)"
+  val IcdGenericRe = "([A-Z]\\d+\\.\\d+)"
+
+  private val patientName = p(PatientNameRe)
+  private val patientDob = p(PatientDobRe)
+  private val patientPhone = p(PatientPhoneRe)
+  private val dateTimeFull = p(DateTimeFullRe)
+  private val dateAnchored = p(DateAnchoredRe)
+  private val dateBare = p(DateBareRe)
+  private val signedBy = p(SignedByRe)
   val excludedSignerPhrases: Vector[String] = Vector(
     "date", "signature", "customer", "n/a", "none", "x")
-  // R4 ICD-10 — bullet-aware then plain then generic
-  private val icdBullet =
-    p("(?is)ICD-10\\s*Code\\(?s?\\)?.{0,40}?[\\u2022\\u2756\\u2605\\u2726\\u25CF\\u25A0\\u25AA]\\s*([A-Z]\\d+\\.\\d+)")
-  private val icdPlain = p("(?i)ICD-10\\s*Code\\(?s?\\)?\\s*:?\\s*([A-Z]\\d+\\.\\d+)")
-  private val icdGeneric = p("([A-Z]\\d+\\.\\d+)")
+  private val icdBullet = p(IcdBulletRe)
+  private val icdPlain = p(IcdPlainRe)
+  private val icdGeneric = p(IcdGenericRe)
   // R5 section-bounded checkbox items
   private val necessitySection =
     p("(?is)Section\\s+II\\.?\\s*Medical Necessity(.*?)(?:Section\\s+III|$)")

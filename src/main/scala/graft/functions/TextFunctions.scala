@@ -91,11 +91,14 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Character n-gram shingles (distinct, sorted) for near-dup detection. */
+  /** Character n-gram shingles (distinct, sorted) for near-dup detection.
+    * Texts shorter than n yield an empty set (no truncated shingles).
+    */
   def shingles(c: Column, n: Int, maxChars: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(least(length(c), lit(maxChars)) - (n - 1), lit(1))),
-      i => c.substr(i, lit(n)))))
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(array_sort(array_distinct(transform(
+        sequence(lit(1), least(length(c), lit(maxChars)) - (n - 1)),
+        i => c.substr(i, lit(n))))))
 
   // ---------------------------------------------------------------------
   // Embedding math (double precision, sequential fold — deterministic and

@@ -152,7 +152,9 @@ object TranscriptGen {
 
   def payload(convIdx: Int, turnIdx: Int): (String, String) = {
     val r = rngFor(convIdx, turnIdx)
-    val shape = shapes((convIdx * 31 + turnIdx) % shapes.length)
+    // Long math: Int (convIdx*31+turnIdx) overflows negative at ~69M convs
+    val shape = shapes(
+      java.lang.Math.floorMod(convIdx.toLong * 31 + turnIdx, shapes.length.toLong).toInt)
     val text = shape match {
       case "facesheet"    => facesheet(r)
       case "prescription" => prescription(r)

@@ -5,11 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Shared helpers for the query catalog. */
 object Q {
+  import org.apache.spark.sql.Column
+
   type Fn = (SparkSession, String) => DataFrame
   final case class Entry(fn: Fn, oracle: Option[String])
 
   def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  // shared constructions used by the construct-and-recover queries —
+  // ONE definition each, mirrored by one SQL fragment each
+  def tok(text: Column, i: Int): Column = element_at(split(text, " "), i)
+
+  def cap(c: Column): Column =
+    concat(upper(c.substr(lit(1), lit(1))), lower(c.substr(lit(2), lit(100))))
+
+  def dateCol(id: Column): Column = concat(
+    lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0"), lit("/"),
+    lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0"), lit("/"),
+    (lit(1980) + pmod(id, lit(40))).cast("string"))
+
+  val sqlTok1 = "string_split(text,' ')[1]"
+  val sqlTok2 = "string_split(text,' ')[2]"
+  def sqlCap(t: String) = s"upper(substr($t,1,1))||lower(substr($t,2))"
+  val sqlDate =
+    "lpad(CAST(doc_id % 12 + 1 AS VARCHAR),2,'0')||'/'||lpad(CAST(doc_id % 28 + 1 AS VARCHAR),2,'0')||'/'||CAST(1980 + doc_id % 40 AS VARCHAR)"
 }
 
 /** Core relational operators (scan/filter/project/join/agg/window/sort/

@@ -24,16 +24,7 @@ object DocQueries {
   private def firstNonEmpty(cols: Column*): Column =
     coalesce(cols.map(c => when(length(c) > 0, c)) :+ lit(""): _*)
 
-  private def tok(text: Column, i: Int): Column =
-    element_at(split(text, " "), i)
-
-  private def cap(c: Column): Column =
-    concat(upper(c.substr(lit(1), lit(1))), lower(c.substr(lit(2), lit(100))))
-
-  // SQL fragments mirroring the constructions above
-  private val sqlTok1 = "string_split(text,' ')[1]"
-  private val sqlTok2 = "string_split(text,' ')[2]"
-  private def sqlCap(t: String) = s"upper(substr($t,1,1))||lower(substr($t,2))"
+  import Q.{tok, cap, sqlTok1, sqlTok2, sqlCap}
 
   val entries: Seq[(String, Entry)] = Seq(
 
@@ -186,17 +177,12 @@ object DocQueries {
           lit("\nPatient Phone Number: ("),
           (lit(200) + pmod($"doc_id", lit(700))).cast("string"), lit(") 555-"),
           lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+        import graft.extract.Extract
         rd(s, d, "documents").select($"doc_id", payload.as("p"))
           .select($"doc_id",
-            regexp_extract($"p",
-              "(?i)(?:Mother|Patient)\\s*Name\\s*[:\\s]\\s*([^:\\n]+?)(?=\\s{2,}|\\n|$)", 1)
-              .as("patient_name"),
-            regexp_extract($"p",
-              "(?i)(?:DOB|Date of Birth)\\s*[:\\s]\\s*(\\d{1,2}/\\d{1,2}/\\d{4})", 1)
-              .as("patient_dob"),
-            regexp_extract($"p",
-              "(?i)Phone(?:\\s*Number)?\\s*[:\\s]\\s*(\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4})", 1)
-              .as("patient_phone"))
+            regexp_extract($"p", Extract.PatientNameRe, 1).as("patient_name"),
+            regexp_extract($"p", Extract.PatientDobRe, 1).as("patient_dob"),
+            regexp_extract($"p", Extract.PatientPhoneRe, 1).as("patient_phone"))
           .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -219,13 +205,12 @@ object DocQueries {
             concat(lit("Date : "), dt, lit(" "), tm, lit(" CMT")))
           .when(pmod($"doc_id", lit(3)) === 1, concat(lit("Fecha: "), dt))
           .otherwise(concat(lit("meeting on "), dt, lit(" notes")))
+        import graft.extract.Extract
         rd(s, d, "documents").select($"doc_id", payload.as("p"))
           .select($"doc_id", firstNonEmpty(
-            regexp_extract($"p",
-              "(?i)Date\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4}\\s+\\d{1,2}:\\d{2}\\s*(?:AM|PM|CMT)?)", 1),
-            regexp_extract($"p",
-              "(?i)(?:Date|Fecha)\\s*:\\s*(\\d{1,2}/\\d{1,2}/\\d{4})", 1),
-            regexp_extract($"p", "(\\d{2}/\\d{2}/\\d{4})", 1)).as("extracted_date"))
+            regexp_extract($"p", Extract.DateTimeFullRe, 1),
+            regexp_extract($"p", Extract.DateAnchoredRe, 1),
+            regexp_extract($"p", Extract.DateBareRe, 1)).as("extracted_date"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -248,8 +233,7 @@ object DocQueries {
           .otherwise(goodName)
         val payload = concat(lit("terms body\nSigned by customer: "), signer,
           lit("\nDate : 01/02/2020"))
-        val raw = regexp_extract(payload,
-          "(?i)(?:Signed by customer|Firmado por el cliente)\\s*:\\s*([^\\n]+)", 1)
+        val raw = regexp_extract(payload, graft.extract.Extract.SignedByRe, 1)
         val excluded = graft.extract.Extract.excludedSignerPhrases
         val valid = length(trim(raw)) > 2 && length(trim(raw)) < 50 &&
           !lower(trim(raw)).isin(excluded: _*)
@@ -270,12 +254,12 @@ object DocQueries {
         val payload = when(pmod($"doc_id", lit(3)) === 0,
             concat(lit("ICD-10 Code(s) listed\nnotes • "), code, lit(" more")))
           .otherwise(concat(lit("ICD-10 Code(s): "), code))
+        import graft.extract.Extract
         rd(s, d, "documents").select($"doc_id", payload.as("p"))
           .select($"doc_id", firstNonEmpty(
-            regexp_extract($"p",
-              "(?is)ICD-10\\s*Code\\(?s?\\)?.{0,40}?[\\u2022\\u2756\\u2605\\u2726\\u25CF\\u25A0\\u25AA]\\s*([A-Z]\\d+\\.\\d+)", 1),
-            regexp_extract($"p", "(?i)ICD-10\\s*Code\\(?s?\\)?\\s*:?\\s*([A-Z]\\d+\\.\\d+)", 1),
-            regexp_extract($"p", "([A-Z]\\d+\\.\\d+)", 1)).as("icd10"))
+            regexp_extract($"p", Extract.IcdBulletRe, 1),
+            regexp_extract($"p", Extract.IcdPlainRe, 1),
+            regexp_extract($"p", Extract.IcdGenericRe, 1)).as("icd10"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, 'Z39.'||CAST(doc_id % 9 AS VARCHAR) AS icd10

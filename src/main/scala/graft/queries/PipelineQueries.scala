@@ -106,15 +106,16 @@ object PipelineQueries {
            |SELECT doc_id, $bitTerms AS simhash FROM t ORDER BY doc_id""".stripMargin
       }),
 
-    // MinHash-LSH candidate pairs (band → bucket → join), verified by true
-    // Jaccard. The banded join is the scale path: no all-pairs product.
-    // Non-SQL-expressible join topology → gated by ScalaTest (planted
-    // near-dups), rows-only here.
+    // MinHash-LSH near-dup pipeline (shingle → minhash → band →
+    // bucket-join), verified by true Jaccard over the shingle sets. The
+    // banded join is the scale path: no all-pairs product. Non-SQL-
+    // expressible join topology → gated by ScalaTest (planted near-dups),
+    // rows-only here.
     "dd_minhash_lsh" -> Entry(
       (s, d) => {
         import s.implicits._
         val docs = rd(s, d, "documents").filter($"doc_id" < 200)
-          .select($"doc_id", tokens($"text").as("toks"))
+          .select($"doc_id", shingles($"text", 5, 2000).as("toks"))
           .withColumn("sig", minHashSig($"toks", 6))
           .withColumn("band", explode(lshBands($"sig", 3, 2)))
         val a = docs.select($"band", $"doc_id".as("id_a"), $"toks".as("toks_a"))
@@ -122,7 +123,7 @@ object PipelineQueries {
         a.join(b, Seq("band")).filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b", $"toks_a", $"toks_b").distinct()
           .withColumn("jac", round(jaccard($"toks_a", $"toks_b"), 6))
-          .filter($"jac" >= 0.8)
+          .filter($"jac" >= 0.4)
           .select($"id_a", $"id_b", $"jac")
           .orderBy($"id_a", $"id_b")
       },

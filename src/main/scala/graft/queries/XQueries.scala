@@ -16,20 +16,7 @@ import graft.extract.Extract
 object XQueries {
   import Q._
 
-  private def tok(text: Column, i: Int): Column = element_at(split(text, " "), i)
-  private def cap(c: Column): Column =
-    concat(upper(c.substr(lit(1), lit(1))), lower(c.substr(lit(2), lit(100))))
-  private val sqlTok1 = "string_split(text,' ')[1]"
-  private val sqlTok2 = "string_split(text,' ')[2]"
-  private def sqlCap(t: String) = s"upper(substr($t,1,1))||lower(substr($t,2))"
-
-  private def dateCol(id: Column): Column = concat(
-    lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0"), lit("/"),
-    lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0"), lit("/"),
-    (lit(1980) + pmod(id, lit(40))).cast("string"))
-
-  private val sqlDate =
-    "lpad(CAST(doc_id % 12 + 1 AS VARCHAR),2,'0')||'/'||lpad(CAST(doc_id % 28 + 1 AS VARCHAR),2,'0')||'/'||CAST(1980 + doc_id % 40 AS VARCHAR)"
+  import Q.{tok, cap, dateCol, sqlTok1, sqlTok2, sqlCap, sqlDate}
 
   /** Run the real extractor over (doc_id, payload) rows. */
   private def runExtractor(s: SparkSession, df: DataFrame)(

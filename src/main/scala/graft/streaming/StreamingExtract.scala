@@ -39,7 +39,8 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n_turns"),
         avg(col("confidence")).as("mean_confidence"))
 
-  final case class ConvState(turns: Long, okTurns: Long, lastIdx: Int)
+  final case class ConvState(turns: Long, okTurns: Long, lastIdx: Int,
+      gap: Boolean)
   final case class ConvSummary(conv_id: String, turns: Long, ok_turns: Long,
       last_idx: Int, gap_detected: Boolean)
 
@@ -54,17 +55,19 @@ object StreamingExtract {
       .groupByKey(_._1)
       .mapGroupsWithState[ConvState, ConvSummary](GroupStateTimeout.NoTimeout) {
         case (convId, rows, state: GroupState[ConvState]) =>
-          val prev = state.getOption.getOrElse(ConvState(0, 0, -1))
+          val prev = state.getOption.getOrElse(ConvState(0, 0, -1, gap = false))
           val sorted = rows.toSeq.sortBy(_._2)
-          var gap = false
+          // gap persists in state; late/duplicate replays (idx <= last)
+          // never move lastIdx backwards or flag spurious gaps
+          var gap = prev.gap
           var last = prev.lastIdx
           var ok = prev.okTurns
           sorted.foreach { case (_, idx, status) =>
-            if (idx != last + 1) gap = gap || last >= 0
-            last = idx
+            if (idx > last + 1 && last >= 0) gap = true
+            if (idx > last) last = idx
             if (status == "ok") ok += 1
           }
-          val next = ConvState(prev.turns + sorted.size, ok, last)
+          val next = ConvState(prev.turns + sorted.size, ok, last, gap)
           state.update(next)
           ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap)
       }
