@@ -116,6 +116,24 @@ object TextFunctions {
     dot(a, b) / (l2norm(a) * l2norm(b))
   }
 
+  /** Random-hyperplane LSH bucket for an embedding (sign-bit signature
+    * over `planes`): the ANN scale path — candidates are restricted to
+    * one bucket instead of the full corpus. Hyperplanes are generated
+    * deterministically from a seed so bucketing is reproducible.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new graft.gen.Rng(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(r.nextDouble() * 2 - 1))
+  }
+
+  def lshBucket(vecF: Column, planes: Seq[Seq[Double]]): Column = {
+    val v = toDouble(vecF)
+    val bits = planes.map { p =>
+      when(dot(v, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
   // ---------------------------------------------------------------------
   // Text-analysis metrics (training-data pipeline operators).
   // ---------------------------------------------------------------------

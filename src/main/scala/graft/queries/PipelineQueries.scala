@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.Multimodal
 
 /** Training-data pipeline operators: deduplication (exact, MinHash,
   * SimHash, n-gram Jaccard, embedding cosine), similarity search
@@ -207,6 +208,44 @@ object PipelineQueries {
              |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
              |  FROM s) WHERE rank <= 3
              |ORDER BY q_id, rank""".stripMargin)),
+
+    // random-hyperplane LSH ANN: bucket the corpus once, probe only the
+    // query's bucket (the scale path — no full-corpus scan per query).
+    // Approximate by construction → rows-only gate; plumbing asserted in
+    // FunctionsSpec.
+    "sim_lsh_ann" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val planes = hyperplanes(4, 64)
+        val e = rd(s, d, "embeddings")
+          .withColumn("bucket", lshBucket($"embedding", planes))
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"bucket", $"embedding".as("q_v"))
+        val c = e.select($"vec_id".as("n_id"), $"bucket", $"embedding".as("n_v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+        c.join(broadcast(q), Seq("bucket")).filter($"n_id" =!= $"q_id")
+          .withColumn("cos", round(cosine($"q_v", $"n_v"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"n_id", $"cos")
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
+    // batched multimodal decode (stubbed decoder, real plumbing):
+    // binary payload -> mapPartitions grouped batches -> feature vectors
+    "mm_decode_batched" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(s, rd(s, d, "documents"))
+        Multimodal.decodeFeatures(s, media, batchSize = 64)
+          .select($"doc_id", $"media_type", $"n_bytes",
+            round(element_at($"features", 1).cast("double"), 6).as("f0"),
+            round(element_at($"features", 2).cast("double"), 6).as("f1"))
+          .orderBy($"doc_id")
+      },
+      None),
 
     // ---------------- Text analysis ----------------
 

@@ -80,6 +80,39 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df(2)._2 == "und")
   }
 
+  test("LSH ANN buckets are deterministic and candidates stay in-bucket") {
+    import spark.implicits._
+    val planes = hyperplanes(4, 64)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("bucket", lshBucket($"embedding", planes))
+    val b1 = e.select($"vec_id", $"bucket").as[(Long, String)].collect().toMap
+    val b2 = e.select($"vec_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(b1 == b2, "bucketing not deterministic")
+    assert(b1.values.forall(_.matches("[01]{4}")))
+    assert(b1.values.toSet.size > 1, "all vectors in one bucket")
+    // the ANN query only pairs ids sharing a bucket
+    val ann = graft.SparkEntry.queries("sim_lsh_ann")(spark, "/root/testdata/sf0.001")
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (q, n) => b1(q) == b1(n) },
+      "ANN returned a candidate outside the probe's bucket")
+  }
+
+  test("batched multimodal decode: batch shape bounded, features deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val out = Multimodal.decodeFeatures(spark, media.repartition(3), batchSize = 16)
+      .collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => r.batch_size >= 1 && r.batch_size <= 16))
+    assert(out.forall(_.features.length == Multimodal.FeatureDim))
+    val again = Multimodal.decodeFeatures(spark, media.repartition(7), batchSize = 16)
+      .collect().map(r => r.doc_id -> r.features.toVector).toMap
+    assert(out.forall(r => again(r.doc_id) == r.features.toVector),
+      "features depend on partitioning")
+  }
+
   test("polyHash is order-sensitive and deterministic") {
     import spark.implicits._
     val h = Seq("abc", "acb", "abc").toDF("t")
