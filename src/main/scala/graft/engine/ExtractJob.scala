@@ -125,9 +125,12 @@ object ExtractJob {
     else {
       val re = """snapshot-(\d+)\.done""".r
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala.flatMap { p =>
-        re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong)
-      }.toSet
+      val stream = Files.list(dir)
+      try
+        stream.iterator().asScala.flatMap { p =>
+          re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong)
+        }.toSet
+      finally stream.close()
     }
   }
 
@@ -148,9 +151,10 @@ object ExtractJob {
     val written = spark.read.parquet(resPath)
     val lin = lineage(spark, written, cfg.runId, snap.id)
     lin.write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
-    // turn count from the (tiny) lineage table, not a second results scan
+    // turn count from the (tiny) lineage table, not a second results scan;
+    // coalesce: sum over an empty snapshot's lineage is null, not 0
     val n = spark.read.parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
-      .agg(sum("turn_count")).head().getLong(0)
+      .agg(coalesce(sum("turn_count"), lit(0L))).head().getLong(0)
     // temp+rename commit record — the resume checkpoint
     val marker = commitMarker(cfg.outDir, snap.id)
     Files.createDirectories(marker.getParent)

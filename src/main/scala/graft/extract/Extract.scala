@@ -141,10 +141,13 @@ object Extract {
   }
 
   // -------------------------------------------------------------------------
-  // Classifier (C1/C2): keyword-density scores with a fixed precedence
-  // ladder. Reference thresholds: insurance>=2 wins; prescription>=3 and
-  // > agreement; agreement>=2; else UNKNOWN (Ethan_PDFandJPG3.py:605-619).
-  // We add a FACESHEET class for the facesheet form shape.
+  // Classifier (C1/C2): keyword-density scores with the reference's full
+  // precedence ladder (Ethan_PDFandJPG3.py:605-619): insurance>=2 wins;
+  // prescription>=3 and > agreement; agreement>=3 and >= prescription;
+  // then the POSSIBLE_* tiers at >=2; else UNKNOWN. We add a FACESHEET
+  // class for the facesheet form shape, and (like the reference's
+  // substring routing, Ethan_PDFandJPG3.py:655,679: `"PRESCRIPTION" in
+  // doc_type`) the POSSIBLE_* tiers still run the corresponding bank.
   // -------------------------------------------------------------------------
   val insuranceKeywords: Vector[String] = Vector(
     "member name", "member id", "bin", "rx pcn", "group no", "copay",
@@ -173,7 +176,9 @@ object Extract {
     if (fs >= 3 && fs >= ins) "FACESHEET"
     else if (ins >= 2) "INSURANCE"
     else if (rx >= 3 && rx > ag) "PRESCRIPTION"
-    else if (ag >= 2) "AGREEMENT"
+    else if (ag >= 3 && ag >= rx) "AGREEMENT"
+    else if (rx >= 2) "POSSIBLE_PRESCRIPTION"
+    else if (ag >= 2) "POSSIBLE_AGREEMENT"
     else "UNKNOWN"
   }
 
@@ -495,18 +500,20 @@ object Extract {
       val sections = segment(stripped)
       val docType = classify(stripped)
       val anchors = kvAnchors(stripped).toMap
-      val bank = docType match {
-        case "FACESHEET"    => facesheetBank(stripped)
-        case "PRESCRIPTION" => prescriptionBank(stripped)
-        case "AGREEMENT"    => agreementBank(stripped)
-        case "INSURANCE"    => insuranceBank(stripped)
-        case _              => Map.empty[String, String]
-      }
+      // Substring routing like the reference's `"PRESCRIPTION" in
+      // doc_type` / `"AGREEMENT" in doc_type` dispatch: POSSIBLE_* tiers
+      // run the same bank as their confident counterparts.
+      val bank =
+        if (docType == "FACESHEET") facesheetBank(stripped)
+        else if (docType.contains("PRESCRIPTION")) prescriptionBank(stripped)
+        else if (docType.contains("AGREEMENT")) agreementBank(stripped)
+        else if (docType == "INSURANCE") insuranceBank(stripped)
+        else Map.empty[String, String]
       // Merge precedence: pattern-bank result beats KV anchor (§3.3).
       val fields = anchors ++ bank
       val sig = detectSignature(stripped)
       val conf =
-        if (docType == "AGREEMENT") confidenceA2(bank, sig)
+        if (docType.contains("AGREEMENT")) confidenceA2(bank, sig)
         else confidenceA1(fields)
       ExtractedTurn(convId, turnIdx, docType, stripped, sections, fields,
         sig, conf, "ok")

@@ -45,7 +45,12 @@ object CoreQueries {
 
   val entries: Seq[(String, Entry)] = Seq(
 
-    // A-analog — grouped aggregation with decimal-exact sums (TPC-H Q1 shape)
+    // A-analog — grouped aggregation with decimal-exact sums (TPC-H Q1 shape).
+    // Sums are computed in exact DECIMAL arithmetic, but the TERMINAL
+    // projection renders them as VARCHAR: the round driver hashes typed
+    // values, and wide decimals (>18 digits, i.e. not INT64-backed) drift
+    // in driver-side representation between engines even when the values
+    // are byte-equal. Strings of an exact decimal cannot drift.
     "q1_lineitem_agg" -> Entry(
       (s, d) => {
         import s.implicits._
@@ -53,18 +58,20 @@ object CoreQueries {
           .filter($"l_shipdate" <= lit("1998-09-01"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_qty"),
-            sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_base_price"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(28,2)")
+              .cast("string").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(28,2)")
+              .cast("string").as("sum_base_price"),
             sum($"l_extendedprice".cast("decimal(18,2)") *
               (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
-              .cast("decimal(28,4)").as("sum_disc_price"),
+              .cast("decimal(28,4)").cast("string").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_qty,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_base_price,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS VARCHAR) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY l_returnflag, l_linestatus
@@ -86,14 +93,18 @@ object CoreQueries {
             .cast("decimal(28,4)").as("revenue"))
           .orderBy($"revenue".desc, $"o_orderkey")
           .limit(10)
+          // top-10 is selected on the exact decimal; only the TERMINAL
+          // projection goes to VARCHAR (driver-hash-stable representation)
+          .select($"o_orderkey", $"revenue".cast("string").as("revenue"))
       },
-      Some("""SELECT o_orderkey,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS revenue
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |JOIN customer ON o_custkey = c_custkey
-             |WHERE c_mktsegment = 'BUILDING'
-             |GROUP BY o_orderkey
-             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+      Some("""SELECT o_orderkey, CAST(revenue AS VARCHAR) AS revenue FROM (
+             |  SELECT o_orderkey,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS revenue
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |  GROUP BY o_orderkey
+             |  ORDER BY revenue DESC, o_orderkey LIMIT 10)""".stripMargin)),
 
     // dimension joins — both sides broadcast (star-schema pattern)
     "q_join_broadcast" -> Entry(
@@ -104,11 +115,12 @@ object CoreQueries {
           .join(broadcast(rd(s, d, "region")), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name")
           .agg(count(lit(1)).as("n_customers"),
-            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_acctbal"))
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(28,2)")
+              .cast("string").as("sum_acctbal"))
           .orderBy($"r_name")
       },
       Some("""SELECT r_name, count(*) AS n_customers,
-             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_acctbal
+             |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_acctbal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
@@ -153,12 +165,15 @@ object CoreQueries {
         rd(s, d, "orders")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 3)
-          .select($"o_custkey", $"rn", $"o_orderkey",
-            $"o_totalprice".cast("decimal(18,2)").as("price"))
+          // rn as BIGINT (DuckDB row_number() is BIGINT); price as VARCHAR
+          // of the exact DECIMAL — any terminal DECIMAL risks driver-side
+          // float64 coercion drift ("123.4" vs "123.40")
+          .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey",
+            $"o_totalprice".cast("decimal(18,2)").cast("string").as("price"))
           .orderBy($"o_custkey", $"rn")
           .limit(500)
       },
-      Some("""SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM (
+      Some("""SELECT o_custkey, rn, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) WHERE rn <= 3
@@ -172,9 +187,11 @@ object CoreQueries {
           .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
           .orderBy($"price".desc, $"o_orderkey")
           .limit(10)
+          .select($"o_orderkey", $"price".cast("string").as("price"))
       },
-      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
-             |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin)),
+      Some("""SELECT o_orderkey, CAST(price AS VARCHAR) AS price FROM (
+             |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders ORDER BY price DESC, o_orderkey LIMIT 10)""".stripMargin)),
 
     // D1 — distinct
     "q_distinct" -> Entry(
@@ -188,18 +205,24 @@ object CoreQueries {
       Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
-    // time-bucketed aggregation over the event stream table
+    // time-bucketed aggregation over the event stream table. The hour
+    // bucket is grouped as a timestamp but RENDERED as a formatted string
+    // (UTC session tz both sides): terminal timestamp columns drift in
+    // driver-side representation between engines; strings cannot.
     "q_events_hourly" -> Entry(
       (s, d) => {
         import s.implicits._
         rd(s, d, "events")
-          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
           .agg(count(lit(1)).as("n"),
-            sum($"value".cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_value"))
+            sum($"value".cast("decimal(18,2)")).cast("decimal(28,2)")
+              .cast("string").as("sum_value"))
+          .select(date_format($"hour_ts", "yyyy-MM-dd HH:mm:ss").as("hour"),
+            $"event_type", $"n", $"sum_value")
           .orderBy($"hour", $"event_type")
       },
-      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
     // JSON-ish props field via regexp (portable, no JSON-path dialect drift)

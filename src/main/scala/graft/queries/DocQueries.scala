@@ -324,8 +324,10 @@ object DocQueries {
             sum(when($"n_chars" > 300, 1L).otherwise(0L)).as("n_big"))
           .orderBy($"lang")
       },
+      // DuckDB sum(CASE...) yields HUGEINT (int128) — cast to BIGINT to
+      // match Spark's LongType at the driver's typed-hash layer
       Some("""SELECT lang, count(*) AS n_docs,
-             |  sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_big
+             |  CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // D1 — dedup keeping the minimum key per group

@@ -57,17 +57,22 @@ object StreamingExtract {
         case (convId, rows, state: GroupState[ConvState]) =>
           val prev = state.getOption.getOrElse(ConvState(0, 0, -1, gap = false))
           val sorted = rows.toSeq.sortBy(_._2)
-          // gap persists in state; late/duplicate replays (idx <= last)
-          // never move lastIdx backwards or flag spurious gaps
+          // replay tolerance: rows at idx <= lastIdx are duplicates of
+          // already-counted turns — they move nothing (not lastIdx, not
+          // gap, and not the turn/ok counters)
           var gap = prev.gap
           var last = prev.lastIdx
           var ok = prev.okTurns
+          var turns = prev.turns
           sorted.foreach { case (_, idx, status) =>
-            if (idx > last + 1 && last >= 0) gap = true
-            if (idx > last) last = idx
-            if (status == "ok") ok += 1
+            if (idx > last) {
+              if (idx > last + 1 && last >= 0) gap = true
+              last = idx
+              turns += 1
+              if (status == "ok") ok += 1
+            }
           }
-          val next = ConvState(prev.turns + sorted.size, ok, last, gap)
+          val next = ConvState(turns, ok, last, gap)
           state.update(next)
           ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap)
       }

@@ -49,7 +49,9 @@ class ExtractTurnExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.createOrReplaceTempView("ttmp")
     val viaSql = spark.sql(
       "SELECT extract_turn(text).doc_type AS dt FROM ttmp").as[String].head()
-    assert(viaSql == "AGREEMENT")
+    // 2 agreement keywords ("signed by customer", "customer") lands in the
+    // reference ladder's POSSIBLE_AGREEMENT tier (>=2 but <3)
+    assert(viaSql == "POSSIBLE_AGREEMENT")
     // codegen check needs a non-foldable source (a local relation is
     // constant-folded at plan time): project over a parquet scan
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
