@@ -23,7 +23,8 @@ object SparkEntry {
   /** The full catalog: operator-keyed queries + colocated DuckDB oracles. */
   private def catalog: Seq[(String, graft.queries.Q.Entry)] =
     graft.queries.CoreQueries.entries ++ graft.queries.DocQueries.entries ++
-      graft.queries.PipelineQueries.entries ++ graft.queries.XQueries.entries
+      graft.queries.PipelineQueries.entries ++ graft.queries.XQueries.entries ++
+      graft.queries.OpQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

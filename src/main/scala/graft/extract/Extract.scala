@@ -342,13 +342,8 @@ object Extract {
       .orElse(firstMatch(icdPlain, text))
       .orElse(firstMatch(icdGeneric, text))
     icd.foreach(b += "icd10" -> _)
-    firstMatch(necessitySection, text).foreach { sec =>
-      val m = checkboxItem.matcher(sec)
-      val items = Vector.newBuilder[String]
-      while (m.find()) items += m.group(2).trim
-      val v = items.result()
-      if (v.nonEmpty) b += "necessity_items" -> v.mkString("; ")
-    }
+    val items = checkboxItems(text)
+    if (items.nonEmpty) b += "necessity_items" -> items.mkString("; ")
     val tri = qtyTriGroup.matcher(text)
     if (tri.find()) {
       b += "qty" -> tri.group(1).trim
@@ -393,6 +388,17 @@ object Extract {
 
   /** R9 entity sweep — all phone numbers anywhere in the text. */
   def phoneNumbers(text: String): Vector[String] = allMatches(phoneSweep, text)
+
+  /** R5 section-bounded checkbox items, exposed for direct gating: the
+    * checked item texts inside the Medical Necessity section only.
+    */
+  def checkboxItems(text: String): Vector[String] =
+    firstMatch(necessitySection, text).map { sec =>
+      val m = checkboxItem.matcher(sec)
+      val items = Vector.newBuilder[String]
+      while (m.find()) items += m.group(2).trim
+      items.result()
+    }.getOrElse(Vector.empty)
 
   // -------------------------------------------------------------------------
   // Signature detection (C4, text-indicator arm): reference

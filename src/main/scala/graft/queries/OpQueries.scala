@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.Extract
+
+/** Oracle rows for the operators that were previously ScalaTest-gated
+  * only: KV anchors (KV1-KV3), key normalization (P1), section
+  * segmentation spans (P3), ALL-CAPS header detection (C3), checkbox
+  * items (R5), and the unanchored phone sweep (R9).
+  *
+  * Same construct-and-recover strategy as DocQueries/XQueries: payloads
+  * are BUILT from deterministic string ops over (doc_id, text) —
+  * reproducible identically in DuckDB — and the Spark side runs the REAL
+  * extractor functions (the exact code the production mapPartitions stage
+  * runs) while the oracle emits the constructed ground truth.
+  */
+object OpQueries {
+  import Q._
+  import Q.{tok, cap, sqlTok1, sqlTok2, sqlCap}
+
+  /** Run a pure String=>String extractor over (doc_id, payload) rows. */
+  private def runStr(s: SparkSession, df: DataFrame, outCol: String)(
+      f: String => String): DataFrame = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, p) => (id, f(p)) })
+      .toDF("doc_id", outCol)
+      .orderBy(col("doc_id"))
+  }
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // KV1-KV3 — block-map/edge-traversal semantics over text: `Key: Value`
+    // line anchors with P1 key normalization and first-occurrence-wins.
+    // The payload plants a "The ...?" key (normalization), a duplicate key
+    // (first wins), an empty value, and a non-anchor line.
+    "kv_anchors" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("The Member ID?: M"), $"doc_id".cast("string"),
+          lit("\nPlan Type: PPO"), pmod($"doc_id", lit(4)).cast("string"),
+          lit("\nMember ID: duplicate loses\n"),
+          lit("no anchor on this line\nNotes: "))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "kv_json")(t => Extract.fieldsToJson(Extract.kvAnchors(t).toMap))
+      },
+      Some("""SELECT doc_id,
+             |  '{"Member ID":"M'||CAST(doc_id AS VARCHAR)||'","Notes":"","Plan Type":"PPO'||CAST(doc_id % 4 AS VARCHAR)||'"}' AS kv_json
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // P1 — query-key normalization: trim, drop leading "the ", drop
+    // trailing "?" (the reference's query-alias derivation,
+    // finalcodes/Facesheet.py:164-166).
+    "p1_normalize_key" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val raw = when(pmod($"doc_id", lit(4)) === 0, lit("The Patient Name?"))
+          .when(pmod($"doc_id", lit(4)) === 1, lit("  Admit Date "))
+          .when(pmod($"doc_id", lit(4)) === 2,
+            concat(lit("The "), cap(tok($"text", 1)), lit(" Code?")))
+          .otherwise(lit("MRN"))
+        val df = rd(s, d, "documents").select($"doc_id", raw.as("p"))
+        runStr(s, df, "norm_key")(Extract.normalizeKey)
+      },
+      Some(s"""SELECT doc_id, CASE doc_id % 4
+              |  WHEN 0 THEN 'Patient Name'
+              |  WHEN 1 THEN 'Admit Date'
+              |  WHEN 2 THEN ${sqlCap(sqlTok1)}||' Code'
+              |  ELSE 'MRN' END AS norm_key
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // P3 — section segmentation: spans (header, start, len) into a
+    // two-section payload with a blank-line break; offsets computed
+    // independently by the oracle from the construction lengths.
+    "p3_segment" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val b1 = concat(lit("alpha "), tok($"text", 1))
+        val b2a = concat(lit("beta "), tok($"text", 2))
+        val payload = concat(
+          lit("SECTION ONE\n"), b1, lit("\n\nDETAILS PART\n"),
+          b2a, lit("\ngamma end"))
+        val df = rd(s, d, "documents").filter(size(split($"text", " ")) >= 2)
+          .orderBy($"doc_id").limit(300)
+          .select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, p) =>
+            Extract.segment(p).zipWithIndex.map { case (sec, i) =>
+              (id, i.toLong, sec.header, sec.start.toLong, sec.len.toLong)
+            }
+          })
+          .toDF("doc_id", "seg_idx", "header", "start", "len")
+          .orderBy($"doc_id", $"seg_idx")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text,' ')[1] AS t1, string_split(text,' ')[2] AS t2
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2
+             |  ORDER BY doc_id LIMIT 300)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS seg_idx, 'SECTION ONE' AS header,
+             |  CAST(12 AS BIGINT) AS start, length('alpha '||t1) AS len FROM src
+             |UNION ALL
+             |SELECT doc_id, 1, 'DETAILS PART',
+             |  12 + length('alpha '||t1) + 2 + 13,
+             |  length('beta '||t2) + 1 + length('gamma end') FROM src
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
+    // C3 — ALL-CAPS header detector over five constructed line shapes
+    // (valid header / mixed case / colon / no letters / over-length).
+    "c3_header_detect" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val capsTok = regexp_replace(upper(tok($"text", 1)), "[^A-Z]", "")
+        val line = when(pmod($"doc_id", lit(5)) === 0, concat(lit("HEADER "), capsTok))
+          .when(pmod($"doc_id", lit(5)) === 1, lit("Header alpha"))
+          .when(pmod($"doc_id", lit(5)) === 2, lit("HEADER:"))
+          .when(pmod($"doc_id", lit(5)) === 3, lit("12 34"))
+          .otherwise(lit("HEADERX" * 10))
+        val df = rd(s, d, "documents").select($"doc_id", line.as("p"))
+        runStr(s, df, "is_header")(t => String.valueOf(Extract.isAllCapsHeader(t)))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'true' ELSE 'false' END AS is_header
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // R5 — section-bounded checkbox items: checked items inside the
+    // Medical Necessity section are captured; an identical checkbox AFTER
+    // the section terminator must NOT be (bounded, not global).
+    "r5_checkbox_items" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val item2 = when(pmod($"doc_id", lit(2)) === 0,
+          concat(lit("\nX 2. Pumping item "), tok($"text", 2))).otherwise(lit(""))
+        val payload = concat(
+          lit("Section II. Medical Necessity\nX 1. Separation item "),
+          tok($"text", 1), item2,
+          lit("\nSection III. Other\nX 9. Out of bounds item"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "items")(t => Extract.checkboxItems(t).mkString("; "))
+      },
+      Some(s"""SELECT doc_id,
+              |  'Separation item '||$sqlTok1||
+              |  CASE WHEN doc_id % 2 = 0 THEN '; Pumping item '||$sqlTok2 ELSE '' END AS items
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // R9 — unanchored entity sweep: ALL phone numbers anywhere in the
+    // text (reference data_extract_kailey.py:41-54 returns every match),
+    // in both (nnn) nnn-nnnn and nnn-nnn-nnnn shapes, with a non-phone
+    // decoy that must not match.
+    "r9_phone_sweep" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val a = (lit(200) + pmod($"doc_id", lit(700))).cast("string")
+        val b = (lit(300) + pmod($"doc_id", lit(600))).cast("string")
+        val c = lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")
+        val payload = concat(
+          lit("call ("), a, lit(") "), b, lit("-"), c,
+          lit(" id 12345 or "), b, lit("-"), a, lit("-"), c, lit(" now"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "phones")(t => Extract.phoneNumbers(t).mkString(", "))
+      },
+      Some("""SELECT doc_id,
+             |  '('||CAST(200 + doc_id % 700 AS VARCHAR)||') '||CAST(300 + doc_id % 600 AS VARCHAR)||'-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')
+             |  ||', '||CAST(300 + doc_id % 600 AS VARCHAR)||'-'||CAST(200 + doc_id % 700 AS VARCHAR)||'-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') AS phones
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
