@@ -401,6 +401,221 @@ object Extract {
     }.getOrElse(Vector.empty)
 
   // -------------------------------------------------------------------------
+  // Query-driven dynamic extraction — the reference's primary mechanism:
+  // a bank of natural-language queries whose normalized text becomes the
+  // field key at runtime (finalcodes/Facesheet.py:104-143 query banks,
+  // :157-175 key derivation + document_data map). Key derivation is the
+  // reference's exact rule: text after the FIRST "the " (case-sensitive),
+  // cut at the first "?". Unanswered queries stay in the map with "" (the
+  // reference counts them as emptyCount for A1 confidence).
+  // -------------------------------------------------------------------------
+  def queryKey(q: String): String = {
+    val i = q.indexOf("the ")
+    val afterThe = if (i >= 0) q.substring(i + 4) else q
+    val j = afterThe.indexOf('?')
+    if (j >= 0) afterThe.substring(0, j) else afterThe
+  }
+
+  /** Answer a query bank from the document's KV anchors: a query is
+    * answered by the first anchor whose normalized key equals the query
+    * key case-insensitively. Duplicate query keys overwrite (Python dict
+    * assignment order, Facesheet.py:168/175).
+    */
+  def queryBank(queries: Seq[String], text: String): Map[String, String] = {
+    val anchors = kvAnchors(text)
+    val byKey = anchors.map { case (k, v) => k.toLowerCase -> v }.toMap
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (q <- queries) {
+      val key = queryKey(q)
+      out(key) = byKey.getOrElse(normalizeKey(key).toLowerCase, "")
+    }
+    out.toMap
+  }
+
+  // -------------------------------------------------------------------------
+  // R8 field bank with "<Field> not found" defaults — the Lauren-style
+  // fixed bank (MiscTestingScripts/Lauren_RX_JPG_Reader.py:47-63): every
+  // field is always present, either with its first regex match or the
+  // literal default. Age/DOB captures group 2 (group 1 is the label
+  // alternation), everything else group 1.
+  // -------------------------------------------------------------------------
+  val DefaultBankPatterns: Vector[(String, String, Int)] = Vector(
+    ("Name", "(?i)\\bname\\b[:\\s]*([^\\n]+)", 1),
+    ("Age/DOB", "(?i)\\b(dob|date of birth|age)\\b[:\\s]*([^\\n]+)", 2),
+    ("Address", "(?i)\\baddress\\b[:\\s]*([^\\n]+)", 1),
+    ("Date", "(?i)\\bdate\\b[:\\s]*([^\\n]+)", 1),
+    ("Rx", "(?i)\\brx\\b[:\\s]*([^\\n]+)", 1),
+    ("Refills", "(?i)\\brefills?\\b[:\\s]*([^\\n]+)", 1),
+    ("Signature", "(?i)\\bsignature\\b[:\\s]*([^\\n]+)", 1))
+
+  private val defaultBankCompiled =
+    DefaultBankPatterns.map { case (f, re, g) => (f, p(re), g) }
+
+  def defaultsBank(text: String): Map[String, String] =
+    defaultBankCompiled.map { case (field, pat, grp) =>
+      field -> firstMatch(pat, text, grp).getOrElse(s"$field not found")
+    }.toMap
+
+  // -------------------------------------------------------------------------
+  // KV4 — keyword routing into a nested patient/doctor/prescription
+  // record, with the reference's 13-rule cleanup battery
+  // (MiscTestingScripts/Ethan_PDFandJPG3.py:228-238 routing, :276-411
+  // cleanup, :414-418 nested record). Re-expressed as one pure function
+  // over the anchor list + text; output is canonical nested JSON.
+  // -------------------------------------------------------------------------
+  private val routeSkipTerms = Vector("icd", "z39", "lactating")
+  private val routePatientTerms = Vector(
+    "mother", "infant", "patient", "name", "dob", "date of birth", "phone")
+  private val routeDoctorTerms = Vector("physician", "doctor", "md", "prescribing")
+
+  /** Patient pattern bank applied to the full text after anchor routing
+    * (Ethan_PDFandJPG3.py:243-251); pattern result overwrites the anchor.
+    */
+  private val routePatientPatterns = Vector(
+    ("(?i)(?:Mother|Patient)\\s*Name[:\\s]+([^:\\n]+)", "Patient Name"),
+    ("(?i)(?:Mother|Patient)?\\s*Date of [Bb]irth[:\\s]+([^:\\n]+)", "Date of Birth"),
+    ("(?i)(?:Mother|Patient)?\\s*DOB[:\\s]+([^:\\n]+)", "DOB"),
+    ("(?i)(?:Mother|Patient)?\\s*Phone\\s*(?:Number)?[:\\s]+([^:\\n]+)", "Phone Number"),
+    ("(?i)(?:Infant|Baby)\\s*Name[:\\s]+([^:\\n]+)", "Infant Name"),
+    ("(?i)(?:Infant|Baby)\\s*Date of [Bb]irth[:\\s]+([^:\\n]+)", "Infant Date of Birth"),
+    ("(?i)EDD[:\\s]+([^:\\n]+)", "EDD")).map { case (re, f) => (p(re), f) }
+
+  private val routePumpPatterns = Vector(
+    "(?i)breast pump", "(?i)double electric", "(?i)double-electric",
+    "(?i)electric breast pump").map(p)
+
+  private val doctorNpiKeyRe = p("(.+?),?\\s+MD\\s+-\\s+(\\d+)")
+
+  private val routeUnwantedFields = Vector(
+    "Mother expects regular separation from infant",
+    "Mother expects regular", "Care of the lactating mother", "Z39.1", "ICD-10")
+
+  type FieldsMap = scala.collection.mutable.LinkedHashMap[String, String]
+
+  /** Route anchors + pattern hits into (patient, doctor, prescription)
+    * and apply the 13-rule cleanup battery. Returned maps preserve
+    * insertion order (the reference's dict semantics, which the battery's
+    * first-wins rules depend on).
+    */
+  def routeAndClean(text: String): (FieldsMap, FieldsMap, FieldsMap) = {
+    val patient = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val doctor = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val rx = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // keyword routing over the KV anchors (skip terms first, elif order)
+    for ((k, v) <- kvAnchors(text)) {
+      val kl = k.toLowerCase
+      if (!routeSkipTerms.exists(kl.contains)) {
+        if (routePatientTerms.exists(kl.contains)) patient(k) = v
+        else if (routeDoctorTerms.exists(kl.contains)) doctor(k) = v
+      }
+    }
+    // pattern bank overwrites anchors for its canonical field names
+    for ((pat, field) <- routePatientPatterns)
+      firstMatch(pat, text).foreach(v => patient(field) = v)
+    // pump mention -> canonical prescription value
+    if (routePumpPatterns.exists(_.matcher(text).find()))
+      rx("Prescription") = "Double Electric Breast Pump"
+
+    // pre-cleanup: strip ':' from keys, drop empty values (:272-274)
+    def precleaned(m: FieldsMap): FieldsMap = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      for ((k, v) <- m; if v != null && v.trim.nonEmpty)
+        out(k.replace(":", "").trim) = v
+      out
+    }
+    val pa = precleaned(patient); val dr = precleaned(doctor)
+    val pr = precleaned(rx)
+
+    // 1. remove unwanted fields
+    for (f <- routeUnwantedFields; k <- pa.keys.toVector; if k.contains(f))
+      pa.remove(k)
+    // 2. physician/doctor keys move from patient to doctor (first wins)
+    for (k <- pa.keys.toVector;
+         if k.toLowerCase.contains("physician") || k.toLowerCase.contains("doctor")) {
+      val v = pa.remove(k).get
+      if (!dr.contains("Doctor Name")) dr("Doctor Name") = v
+    }
+    // 3. infant fields re-labeled "Infant <field>"
+    val infant = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (k <- pa.keys.toVector;
+         if k.toLowerCase.contains("infant") || k.toLowerCase.contains("baby")) {
+      infant(k.replace("Infant ", "").replace("Baby ", "")) = pa.remove(k).get
+    }
+    for ((k, v) <- infant) pa(s"Infant $k") = v
+    // 4. standard field names beat their aliases
+    for ((standard, aliases) <- Vector(
+        "Patient Name" -> Vector("Name"), "DOB" -> Vector("Date of Birth"),
+        "Phone Number" -> Vector("Phone"));
+        if pa.contains(standard); a <- aliases) pa.remove(a)
+    // 5. doctor 'X' checkbox values read as Selected
+    for (k <- dr.keys.toVector; if dr(k) == "X") dr(k) = "Selected"
+    // 6. single-char MD signature is a misread -> Present
+    if (dr.get("MD Signature").exists(_.length <= 1)) dr("MD Signature") = "Present"
+    // 7. MD Signature redundant with Physician Signature
+    if (dr.contains("MD Signature") && dr.contains("Physician Signature"))
+      dr.remove("MD Signature")
+    // 8. "<Doctor Name>, MD - <NPI>" combined KEYS split into fields
+    for (k <- dr.keys.toVector) {
+      val m = doctorNpiKeyRe.matcher(k)
+      if (m.find()) {
+        val v = dr.remove(k).get
+        dr("Doctor Name") = m.group(1).trim
+        dr("NPI") = m.group(2).trim
+        if (v == "Selected") dr("Selected") = "Yes"
+      }
+    }
+    // 9. split Patient Name into First/Last ("Last, First" aware)
+    pa.remove("Patient Name").foreach { full =>
+      val t = full.trim
+      if (t.contains(",")) {
+        val parts = t.split(",", 2)
+        pa("First Name") = parts(1).trim
+        pa("Last Name") = parts(0).trim
+      } else {
+        val parts = t.split("\\s+").toVector
+        if (parts.length >= 2) {
+          pa("First Name") = parts.head
+          pa("Last Name") = parts.tail.mkString(" ")
+        } else {
+          pa("First Name") = t
+          pa("Last Name") = ""
+        }
+      }
+    }
+    // 10. First-ends-with-comma means the halves were swapped
+    (pa.get("First Name"), pa.get("Last Name")) match {
+      case (Some(f), Some(l)) if f.endsWith(",") =>
+        pa("First Name") = l
+        pa("Last Name") = f.stripSuffix(",")
+      case _ => ()
+    }
+    // 11. Selected flag gets a descriptive name
+    dr.remove("Selected").foreach(v => dr("Is Prescribing Physician") = v)
+    // 12. OCR-interpreted signature text -> Present
+    if (dr.contains("Physician Signature")) dr("Physician Signature") = "Present"
+    // 13. Infant Name that captured the next label is absent
+    if (pa.get("Infant Name").contains("Infant Date of Birth"))
+      pa("Infant Name") = "Not present"
+
+    (pa, dr, pr)
+  }
+
+  /** Canonical nested output record (§1.1):
+    * `{"doctor":{...},"patient":{...},"prescription":{...}}` with keys
+    * sorted inside each section for determinism.
+    */
+  def routedRecordJson(text: String): String = {
+    val (pa, dr, pr) = routeAndClean(text)
+    val sb = new StringBuilder(128)
+    sb.append("{\"doctor\":").append(fieldsToJson(dr.toMap))
+      .append(",\"patient\":").append(fieldsToJson(pa.toMap))
+      .append(",\"prescription\":").append(fieldsToJson(pr.toMap))
+      .append('}')
+    sb.result()
+  }
+
+  // -------------------------------------------------------------------------
   // Signature detection (C4, text-indicator arm): reference
   // `detect_signature` methods 3 ("signature"/"signed"//s/) and the
   // "Signed by customer:" implication.

@@ -17,7 +17,7 @@ import graft.extract.Extract
   */
 object OpQueries {
   import Q._
-  import Q.{tok, cap, sqlTok1, sqlTok2, sqlCap}
+  import Q.{tok, cap, dateCol, sqlTok1, sqlTok2, sqlCap, sqlDate}
 
   /** Run a pure String=>String extractor over (doc_id, payload) rows. */
   private def runStr(s: SparkSession, df: DataFrame, outCol: String)(
@@ -163,6 +163,108 @@ object OpQueries {
       Some("""SELECT doc_id,
              |  '('||CAST(200 + doc_id % 700 AS VARCHAR)||') '||CAST(300 + doc_id % 600 AS VARCHAR)||'-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')
              |  ||', '||CAST(300 + doc_id % 600 AS VARCHAR)||'-'||CAST(200 + doc_id % 700 AS VARCHAR)||'-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') AS phones
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Query-driven dynamic extraction — the reference's core mechanism
+    // (finalcodes/Facesheet.py:104-175): a bank of natural-language
+    // queries whose derived key becomes the field name at runtime; the
+    // answer map (document_data) plus A1 confidence over it. One query is
+    // deliberately unanswerable -> "" and a lower confidence.
+    "q_bank_extract" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("Patient Name: "), upper(tok($"text", 1)), lit(", "), upper(tok($"text", 2)),
+          lit("\nMRN: "), (lit(1000000) + $"doc_id").cast("string"),
+          lit("\nEncounter Date: "), dateCol($"doc_id"))
+        val qs = Seq("What is the Patient Name?", "What is the MRN?",
+          "What is the Encounter Date?", "What is the Patient Address?")
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val dd = Extract.queryBank(qs, p)
+            (id, Extract.fieldsToJson(dd),
+              String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6))
+          })
+          .toDF("doc_id", "document_data", "confidence")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  '{"Encounter Date":"'||$sqlDate||'","MRN":"'||CAST(1000000 + doc_id AS VARCHAR)||'","Patient Address":"","Patient Name":"'||upper($sqlTok1)||', '||upper($sqlTok2)||'"}' AS document_data,
+              |  '0.75' AS confidence
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // R8 — field bank with "<Field> not found" defaults (the Lauren-style
+    // always-present bank, Lauren_RX_JPG_Reader.py:47-63): present fields
+    // extract, absent fields emit their literal default.
+    "r8_default_bank" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("Name: Pat"), $"doc_id".cast("string"),
+          lit(" Row"), pmod($"doc_id", lit(7)).cast("string"),
+          lit("\nRx: pump kit "), pmod($"doc_id", lit(5)).cast("string"),
+          lit("\nDate: "), dateCol($"doc_id"),
+          when(pmod($"doc_id", lit(2)) === 0,
+            concat(lit("\nRefills: "), pmod($"doc_id", lit(4)).cast("string")))
+            .otherwise(lit("")))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val f = Extract.defaultsBank(p)
+            (id, f("Name"), f("Age/DOB"), f("Address"), f("Date"),
+              f("Rx"), f("Refills"), f("Signature"))
+          })
+          .toDF("doc_id", "name", "age_dob", "address", "date_field",
+            "rx", "refills", "signature")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  'Pat'||CAST(doc_id AS VARCHAR)||' Row'||CAST(doc_id % 7 AS VARCHAR) AS name,
+              |  'Age/DOB not found' AS age_dob,
+              |  'Address not found' AS address,
+              |  $sqlDate AS date_field,
+              |  'pump kit '||CAST(doc_id % 5 AS VARCHAR) AS rx,
+              |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 4 AS VARCHAR) ELSE 'Refills not found' END AS refills,
+              |  'Signature not found' AS signature
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // KV4 — keyword routing into the nested patient/doctor/prescription
+    // record with the 13-rule cleanup battery (Ethan_PDFandJPG3.py:
+    // 228-238, 276-418): a physician anchor routed out of patient, an ICD
+    // anchor skipped, an unroutable anchor dropped, a pump mention, and
+    // the comma-aware name split both ways.
+    "kv4_routed_nested" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val nm = when(pmod($"doc_id", lit(3)) === 0,
+            concat(upper(tok($"text", 1)), lit(", "), upper(tok($"text", 2))))
+          .otherwise(concat(cap(tok($"text", 1)), lit(" "), cap(tok($"text", 2))))
+        val ph = concat(lit("("), (lit(200) + pmod($"doc_id", lit(700))).cast("string"),
+          lit(") 555-"), lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+        val payload = concat(
+          lit("Mother Name: "), nm,
+          lit("\nDOB: "), dateCol($"doc_id"),
+          lit("\nPhysician Name: Dr "), cap(tok($"text", 2)),
+          lit("\nPatient Phone Number: "), ph,
+          lit("\nICD-10 Code: Z39.1"),
+          lit("\nPlan Group: ABC"),
+          lit("\nuses a double electric breast pump"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "record")(Extract.routedRecordJson)
+      },
+      Some {
+        val nmSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($sqlTok1)||', '||upper($sqlTok2) " +
+          s"ELSE ${sqlCap(sqlTok1)}||' '||${sqlCap(sqlTok2)} END"
+        val firstSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($sqlTok2) ELSE ${sqlCap(sqlTok1)} END"
+        val lastSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($sqlTok1) ELSE ${sqlCap(sqlTok2)} END"
+        val phSql = "'('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')"
+        s"""SELECT doc_id,
+           |  '{"doctor":{"Doctor Name":"Dr '||${sqlCap(sqlTok2)}||'"},'||
+           |  '"patient":{"DOB":"'||$sqlDate||'","First Name":"'||$firstSql||'","Last Name":"'||$lastSql||
+           |  '","Mother Name":"'||$nmSql||'","Patient Phone Number":"'||$phSql||'","Phone Number":"'||$phSql||
+           |  '"},"prescription":{"Prescription":"Double Electric Breast Pump"}}' AS record
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
   )
 }
