@@ -18,21 +18,23 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class DecodedRow(doc_id: Long, media_type: String,
-      n_bytes: Int, batch_size: Int, features: Array[Float])
+      n_bytes: Int, batch_size: Int, features: Array[Double])
 
   val FeatureDim = 8
 
   /** STUB decoder — deterministic fake features from byte statistics.
     * A real deployment replaces exactly this function with an image/audio
     * decoder; the batch is the unit a codec/model would process at once.
+    * Accumulation is double-precision in ascending byte order, so the
+    * result is portable arithmetic an external oracle can reproduce.
     */
   def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = {
     val bs = batch.size
     batch.map { r =>
-      val feats = new Array[Float](FeatureDim)
+      val feats = new Array[Double](FeatureDim)
       var i = 0
       while (i < r.payload.length) {
-        feats(i % FeatureDim) += (r.payload(i) & 0xff) / 255.0f
+        feats(i % FeatureDim) += (r.payload(i) & 0xff) / 255.0
         i += 1
       }
       val n = math.max(1, r.payload.length / FeatureDim)

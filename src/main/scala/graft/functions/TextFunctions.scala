@@ -134,6 +134,23 @@ object TextFunctions {
     concat(bits: _*)
   }
 
+  /** OR-amplified hyperplane LSH: `bands` independent bucket keys of
+    * `rowsPerBand` sign bits each. A pair is a near-dup CANDIDATE if it
+    * shares ANY band key — recall 1-(1-p^r)^b instead of p^r, the banded
+    * construction from the MinHash-LSH literature applied to random
+    * hyperplanes. Returns array<string> of "b-bits" keys to explode and
+    * equi-join on — the candidate generator that replaces all-pairs
+    * embedding comparison at scale.
+    */
+  def hyperplaneBands(bands: Int, rowsPerBand: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(bands)(b => hyperplanes(rowsPerBand, dim, seed + 1000L * b))
+
+  def lshBucketBands(vecF: Column, bandPlanes: Seq[Seq[Seq[Double]]]): Column =
+    array(bandPlanes.zipWithIndex.map { case (planes, b) =>
+      concat(lit(s"$b-"), lshBucket(vecF, planes))
+    }: _*)
+
   // ---------------------------------------------------------------------
   // Text-analysis metrics (training-data pipeline operators).
   // ---------------------------------------------------------------------

@@ -30,6 +30,52 @@ object PipelineQueries {
 
   private def minHashSeed(s: Int): Long = 0x9e3779b9L * (s + 1)
 
+  /** [mh0, ..., mh5] — the 6-seed MinHash signature over a token/shingle
+    * list variable `toks`, as a SQL list literal (integer math — exact
+    * parity with TextFunctions.minHashSig).
+    */
+  private def sqlSig(k: Int = 6): String =
+    (0 until k).map { s =>
+      s"list_min(list_transform(toks, t -> ${sqlTokHash(minHashSeed(s))}))"
+    }.mkString("[", ",\n      ", "]")
+
+  /** The banded LSH keys over a signature variable `sig` — mirrors
+    * TextFunctions.lshBands(sig, bands, rows) ("b-<hash>" strings).
+    */
+  private def sqlBandKeys(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      s"'$b-' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"sig[${b * rows + 1}:${(b + 1) * rows}]), (a, x) -> (a * 31 + x) % $M) AS VARCHAR)"
+    }.mkString("[", ",\n      ", "]")
+
+  /** Character-5-gram shingle set over `text` (mirrors
+    * TextFunctions.shingles(text, 5, 2000); min doc length in the corpus
+    * is 48, so the short-text guard never fires).
+    */
+  private val sqlShingles =
+    "list_sort(list_distinct(list_transform(generate_series(1, least(length(text), 2000) - 4), i -> substr(text, i, 5))))"
+
+  /** Sequential-fold dot product of a double-list variable `v` with a
+    * plane literal — bit-identical to TextFunctions.dot's left fold
+    * (same multiply order, same add order), so the LSH sign bits match
+    * Spark exactly.
+    */
+  private def sqlDot(plane: Seq[Double]): String = {
+    val lits = plane.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(" +
+      s"generate_series(1, ${plane.length}), i -> v[i] * ($lits)[i])), (a, x) -> a + x)"
+  }
+
+  /** Sign-bit bucket string over `v` — mirrors TextFunctions.lshBucket. */
+  private def sqlBucket(planes: Seq[Seq[Double]]): String =
+    planes.map(p => s"(CASE WHEN ${sqlDot(p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString("||")
+
+  /** Banded hyperplane keys over `v` — mirrors TextFunctions.lshBucketBands. */
+  private def sqlHyperBandKeys(bandPlanes: Seq[Seq[Seq[Double]]]): String =
+    bandPlanes.zipWithIndex.map { case (ps, b) => s"'$b-' || ${sqlBucket(ps)}" }
+      .mkString("[", ",\n      ", "]")
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---------------- Deduplication ----------------
@@ -46,28 +92,43 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
 
-    // n-gram (token-set) Jaccard near-dup pairs within language blocks
+    // n-gram (token-set) Jaccard near-dup dedup over the WHOLE corpus —
+    // candidates come from the banded MinHash join (3 bands x 2 rows:
+    // recall 1-(1-s^2)^3 = 95% at s=0.8, while unrelated pairs at s~0.05
+    // collide with p<1%), then exact Jaccard >= 0.8 on candidates only,
+    // aggregated to the per-doc DROP decision (doc -> its minimum
+    // near-dup representative): the corpus is template-heavy, so the raw
+    // pair list is quadratic in clique size while the decision list is
+    // O(n) — the output shape a 100 TB dedup actually materializes.
+    // No all-pairs product anywhere; the oracle reproduces the identical
+    // banding (integer hashes), so parity is exact by construction.
     "dd_ngram_jaccard" -> Entry(
       (s, d) => {
         import s.implicits._
-        val t = rd(s, d, "documents").filter($"doc_id" < 200)
-          .select($"doc_id", $"lang", tokens($"text").as("toks"))
-        val a = t.select($"doc_id".as("id_a"), $"lang", $"toks".as("toks_a"))
-        val b = t.select($"doc_id".as("id_b"), $"lang", $"toks".as("toks_b"))
-        a.join(b, Seq("lang")).filter($"id_a" < $"id_b")
-          .withColumn("jac", round(jaccard($"toks_a", $"toks_b"), 6))
-          .filter($"jac" >= 0.8)
-          .select($"lang", $"id_a", $"id_b", $"jac")
-          .orderBy($"lang", $"id_a", $"id_b")
+        val t = rd(s, d, "documents")
+          .select($"doc_id", tokens($"text").as("toks"))
+          .withColumn("band", explode(lshBands(minHashSig($"toks", 6), 3, 2)))
+        val a = t.select($"band", $"doc_id".as("id_a"), $"toks".as("toks_a"))
+        val b = t.select($"band", $"doc_id".as("id_b"), $"toks".as("toks_b"))
+        a.join(b, Seq("band")).filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", $"toks_a", $"toks_b").distinct()
+          .filter(round(jaccard($"toks_a", $"toks_b"), 6) >= 0.8)
+          .groupBy($"id_b")
+          .agg(min($"id_a").as("dup_of"), count(lit(1)).as("n_dups"))
+          .select($"id_b".as("doc_id"), $"dup_of", $"n_dups")
+          .orderBy($"doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents WHERE doc_id < 200)
-              |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
-              |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-              |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jac
-              |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-              |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-              |            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8
-              |ORDER BY lang, id_a, id_b""".stripMargin)),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
+              |bands AS (SELECT doc_id, toks, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |            a.toks AS toks_a, b.toks AS toks_b
+              |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+              |SELECT id_b AS doc_id, min(id_a) AS dup_of, count(*) AS n_dups
+              |FROM pairs
+              |WHERE round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+              |            CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) >= 0.8
+              |GROUP BY id_b ORDER BY doc_id""".stripMargin)),
 
     // MinHash signatures (k=6) — portable polynomial hash family, so the
     // signature itself is oracle-gated bit-for-bit
@@ -107,11 +168,14 @@ object PipelineQueries {
            |SELECT doc_id, $bitTerms AS simhash FROM t ORDER BY doc_id""".stripMargin
       }),
 
-    // MinHash-LSH near-dup pipeline (shingle → minhash → band →
-    // bucket-join), verified by true Jaccard over the shingle sets. The
-    // banded join is the scale path: no all-pairs product. Non-SQL-
-    // expressible join topology → gated by ScalaTest (planted near-dups),
-    // rows-only here.
+    // MinHash-LSH near-dup pipeline over character 5-gram shingles
+    // (shingle → minhash → band → bucket-join), then exact Jaccard over
+    // the shingle sets on candidates only. The banded join is the scale
+    // path: no all-pairs product. The oracle reproduces the whole chain
+    // (shingling, salted polynomial hashes, band keys — all integer /
+    // string math) so the join TOPOLOGY itself is now oracle-gated.
+    // doc_id < 200 bounds the oracle's per-shingle hash cost, not the
+    // operator (dd_ngram_jaccard runs the same topology unbounded).
     "dd_minhash_lsh" -> Entry(
       (s, d) => {
         import s.implicits._
@@ -128,13 +192,31 @@ object PipelineQueries {
           .select($"id_a", $"id_b", $"jac")
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlShingles AS toks
+              |          FROM documents WHERE doc_id < 200),
+              |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
+              |bands AS (SELECT doc_id, toks, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |            a.toks AS toks_a, b.toks AS toks_b
+              |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b,
+              |  round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+              |        CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) AS jac
+              |FROM pairs
+              |WHERE round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+              |            CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // embedding-cosine near-dup pairs within label blocks
+    // embedding-cosine near-dup pairs within label blocks — the EXACT
+    // baseline, explicitly scope-capped at 500 vectors: at cos >= 0.35
+    // (nearly-orthogonal vectors) no LSH family prunes with high recall,
+    // so the exact operator is label-blocked (IVF coarse quantizer) and
+    // bounded. The unbounded scale path for the high-similarity regime
+    // where near-dup dedup actually operates is dd_embedding_lsh below.
     "dd_embedding_cosine" -> Entry(
       (s, d) => {
         import s.implicits._
-        val e = rd(s, d, "embeddings")
+        val e = rd(s, d, "embeddings").filter($"vec_id" < 500)
         val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("v_a"))
         val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("v_b"))
         a.join(b, Seq("label")).filter($"id_a" < $"id_b")
@@ -144,12 +226,61 @@ object PipelineQueries {
           .orderBy($"label", $"id_a", $"id_b")
       },
       Some("""WITH e AS (SELECT vec_id, label,
-             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id < 500)
              |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
              |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
              |ORDER BY label, id_a, id_b""".stripMargin)),
+
+    // embedding near-dup at scale: banded random-hyperplane LSH candidate
+    // join + exact cosine verification, over the corpus PLUS a
+    // deterministically perturbed copy of itself (the corpus has no
+    // natural pairs above cos 0.5, so the high-similarity near-dup regime
+    // is planted by construction — reproducible in the oracle). 4 bands x
+    // 8 sign bits: a true near-dup (cos ~0.99997) collides with p~1 while
+    // unrelated pairs (p(bit)=0.5) collide with p = 1-(1-0.5^8)^4 ~ 1.5%
+    // — real pruning AND high recall, the regime banded LSH is for. The
+    // oracle mirrors the construction, the plane dot products (identical
+    // sequential fold), the band keys, and the verification.
+    "dd_embedding_lsh" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val bp = hyperplaneBands(4, 8, 64)
+        val e = rd(s, d, "embeddings")
+        val pert = transform($"embedding", (x, i) =>
+          x * (lit(1.0) + (pmod(i, lit(5)) - lit(2)).cast("double") * lit(0.004)))
+        val corpus = e.select($"vec_id", toDouble($"embedding").as("v"))
+          .unionByName(e.select(($"vec_id" + 100000).as("vec_id"), pert.as("v")))
+        val banded = corpus.withColumn("band", explode(lshBucketBands($"v", bp)))
+        val a = banded.select($"band", $"vec_id".as("id_a"), $"v".as("v_a"))
+        val b = banded.select($"band", $"vec_id".as("id_b"), $"v".as("v_b"))
+        a.join(b, Seq("band")).filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", $"v_a", $"v_b").distinct()
+          .withColumn("cos", round(cosine($"v_a", $"v_b"), 6))
+          .filter($"cos" >= 0.999)
+          .select($"id_a", $"id_b", $"cos")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val bp = hyperplaneBands(4, 8, 64)
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, v FROM e
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(generate_series(1, 64), j ->
+           |      v[j] * (CAST(1.0 AS DOUBLE) + CAST((j - 1) % 5 - 2 AS DOUBLE) * CAST(0.004 AS DOUBLE)))
+           |  FROM e),
+           |b AS (SELECT vec_id, v, unnest(${sqlHyperBandKeys(bp)}) AS band FROM corpus),
+           |pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+           |            a.v AS v_a, c.v AS v_b
+           |          FROM b a JOIN b c ON a.band = c.band AND a.vec_id < c.vec_id)
+           |SELECT id_a, id_b, round(list_cosine_similarity(v_a, v_b), 6) AS cos
+           |FROM pairs WHERE round(list_cosine_similarity(v_a, v_b), 6) >= 0.999
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // ---------------- Similarity search ----------------
 
@@ -211,8 +342,9 @@ object PipelineQueries {
 
     // random-hyperplane LSH ANN: bucket the corpus once, probe only the
     // query's bucket (the scale path — no full-corpus scan per query).
-    // Approximate by construction → rows-only gate; plumbing asserted in
-    // FunctionsSpec.
+    // The oracle reproduces the sign-bit bucketing with the identical
+    // sequential-fold dot products, so the approximate structure itself
+    // is gated exactly.
     "sim_lsh_ann" -> Entry(
       (s, d) => {
         import s.implicits._
@@ -231,21 +363,49 @@ object PipelineQueries {
           .select($"q_id", $"rank", $"n_id", $"cos")
           .orderBy($"q_id", $"rank")
       },
-      None),
+      Some {
+        val planes = hyperplanes(4, 64)
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |bk AS (SELECT vec_id, v, ${sqlBucket(planes)} AS bucket FROM e),
+           |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |        round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           |      FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+           |SELECT q_id, rank, n_id, cos FROM (
+           |  SELECT q_id, n_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM s) WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      }),
 
     // batched multimodal decode (stubbed decoder, real plumbing):
-    // binary payload -> mapPartitions grouped batches -> feature vectors
+    // binary payload -> mapPartitions grouped batches -> feature vectors.
+    // The stub is deterministic double math over the UTF-8 bytes, so the
+    // oracle reproduces it (per-feature strided byte sums, same order).
     "mm_decode_batched" -> Entry(
       (s, d) => {
         import s.implicits._
         val media = Multimodal.mediaFromDocuments(s, rd(s, d, "documents"))
         Multimodal.decodeFeatures(s, media, batchSize = 64)
           .select($"doc_id", $"media_type", $"n_bytes",
-            round(element_at($"features", 1).cast("double"), 6).as("f0"),
-            round(element_at($"features", 2).cast("double"), 6).as("f1"))
+            round(element_at($"features", 1), 6).as("f0"),
+            round(element_at($"features", 2), 6).as("f1"))
           .orderBy($"doc_id")
       },
-      None),
+      Some {
+        def feat(k: Int) =
+          s"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(generate_series(${k + 1}, length(text), 8), " +
+            s"i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE) / CAST(255.0 AS DOUBLE))), " +
+            s"(a, x) -> a + x) / greatest(1, length(text) // 8), 6)"
+        s"""SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+           |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+           |       ELSE 'video/mp4' END AS media_type,
+           |  length(text) AS n_bytes,
+           |  ${feat(0)} AS f0,
+           |  ${feat(1)} AS f1
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
 
     // ---------------- Text analysis ----------------
 
