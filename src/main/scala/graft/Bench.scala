@@ -70,9 +70,16 @@ object Bench {
       cores: Int, mode: String = "unsalted"): Double = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // NOT the parent's -Xmx: the r1 committed run inherited 8g, and at 32
+    // cores 32 concurrent parquet writers (~128 MB row-group buffers
+    // each) + task state thrash an 8 GB heap while 8 cores fit — which
+    // showed up as "negative scaling" 8->32. Workers get a heap sized for
+    // the full-parallelism level; -Xlog:gc in the worker log evidences it.
+    val workerMem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "24g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-D"))
+        a.startsWith("--add-opens") || a.startsWith("-D")) ++
+      Seq(s"-Xmx$workerMem", "-Xlog:gc")
     // own code location + the Spark distribution — NOT the parent's
     // sbt-managed classpath (bg-jobs copies), keeping workers launchable
     // and identical regardless of how Bench itself was started
@@ -115,13 +122,21 @@ object Bench {
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // foreach materializes every column — count() would let the
-        // optimizer prune away the projected work being measured
-        try { fn(s1, sfDir).foreach(_ => ()) }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+      else {
+        // discarded warmup pass: the first timed queries otherwise absorb
+        // JVM/codegen/parquet-footer warmup and misrank the table
+        // (r1 artifact: a1_confidence_expr "cost" 7.85 s of warmup)
+        for (w <- Seq("p7_md5_meta", "q1_lineitem_agg", "x_pipeline_insurance"))
+          try SparkEntry.queries(w)(s1, sfDir).foreach(_ => ())
+          catch { case _: Throwable => () }
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          // foreach materializes every column — count() would let the
+          // optimizer prune away the projected work being measured
+          try { fn(s1, sfDir).foreach(_ => ()) }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       }
 
     // ---- phase 2: scaling efficiency on the extraction pipeline ---------
@@ -138,9 +153,10 @@ object Bench {
     // neighbor load), so each level is measured best-of-K interleaved.
     val benchBase = Files.createTempDirectory("graft-bench").toString
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    // the full-parallelism level is the least noisy (and most expensive
-    // to ballast); the low-N levels need more best-of chances
-    def trialsFor(lvl: Int): Int = if (lvl == cpus) math.max(2, trials / 2) else trials
+    // every level gets the full best-of-K budget: the r1 artifact's
+    // Pair-B anomaly was amplified by giving the top level only K/2
+    // chances against this host's multi-minute noise episodes
+    def trialsFor(lvl: Int): Int = trials
 
     final case class PairResult(n: Int, n4: Int, turns: Long,
         secsN: Double, secs4N: Double) {

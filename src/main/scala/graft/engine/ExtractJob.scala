@@ -63,7 +63,9 @@ object ExtractJob {
       outDir: String,
       runId: String = "run-0",
       salted: Boolean = false,
-      saltBuckets: Int = 16)
+      saltBuckets: Int = 16,
+      /** optional JDBC mirror of the results (K1) — see [[Sinks]] */
+      jdbc: Option[Sinks.JdbcConfig] = None)
 
   /** Core transform: Dataset-native, pure, partition-count independent.
     *
@@ -147,8 +149,9 @@ object ExtractJob {
     val results = extract(spark, turns, cfg.salted, cfg.saltBuckets,
       presorted = !cfg.salted)
     val resPath = s"${cfg.outDir}/results/snapshot=${snap.id}"
-    results.write.mode("overwrite").parquet(resPath)
+    Sinks.writeParquet(results.toDF(), resPath)
     val written = spark.read.parquet(resPath)
+    cfg.jdbc.foreach(Sinks.mirrorToJdbc(written, _))
     val lin = lineage(spark, written, cfg.runId, snap.id)
     lin.write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
     // turn count from the (tiny) lineage table, not a second results scan;

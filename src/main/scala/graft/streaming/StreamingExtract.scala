@@ -42,39 +42,66 @@ object StreamingExtract {
   final case class ConvState(turns: Long, okTurns: Long, lastIdx: Int,
       gap: Boolean)
   final case class ConvSummary(conv_id: String, turns: Long, ok_turns: Long,
-      last_idx: Int, gap_detected: Boolean)
+      last_idx: Int, gap_detected: Boolean, closed: Boolean)
 
   /** Stateful per-conversation tracker (mapGroupsWithState): running
     * turn/ok counters and turn_idx-gap detection per conv_id.
+    *
+    * State is BOUNDED via event-time timeout: a conversation idle past
+    * the watermark + `gapMs` emits a final `closed = true` summary and
+    * its state is removed — on an unbounded stream with ever-new conv_ids
+    * the state store stays proportional to ACTIVE conversations, not all
+    * conversations ever seen.
     */
-  def sessionize(spark: SparkSession, extracted: DataFrame): Dataset[ConvSummary] = {
+  def sessionize(spark: SparkSession, extracted: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): Dataset[ConvSummary] = {
     import spark.implicits._
     extracted
-      .select("conv_id", "turn_idx", "status")
-      .as[(String, Int, String)]
+      .withWatermark("ts", "30 minutes")
+      .select($"conv_id", $"turn_idx", $"status", $"ts")
+      .as[(String, Int, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[ConvState, ConvSummary](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[ConvState, ConvSummary](GroupStateTimeout.EventTimeTimeout) {
         case (convId, rows, state: GroupState[ConvState]) =>
-          val prev = state.getOption.getOrElse(ConvState(0, 0, -1, gap = false))
-          val sorted = rows.toSeq.sortBy(_._2)
-          // replay tolerance: rows at idx <= lastIdx are duplicates of
-          // already-counted turns — they move nothing (not lastIdx, not
-          // gap, and not the turn/ok counters)
-          var gap = prev.gap
-          var last = prev.lastIdx
-          var ok = prev.okTurns
-          var turns = prev.turns
-          sorted.foreach { case (_, idx, status) =>
-            if (idx > last) {
-              if (idx > last + 1 && last >= 0) gap = true
-              last = idx
-              turns += 1
-              if (status == "ok") ok += 1
-            }
-          }
-          val next = ConvState(turns, ok, last, gap)
-          state.update(next)
-          ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            ConvSummary(convId, st.turns, st.okTurns, st.lastIdx, st.gap,
+              closed = true)
+          } else sessionStep(convId, rows, state, gapMs)
       }
+  }
+
+  private def sessionStep(convId: String,
+      rows: Iterator[(String, Int, String, java.sql.Timestamp)],
+      state: GroupState[ConvState], gapMs: Long): ConvSummary = {
+    val prev = state.getOption.getOrElse(ConvState(0, 0, -1, gap = false))
+    val sorted = rows.toSeq.sortBy(_._2)
+    // replay tolerance: rows at idx <= lastIdx are duplicates of
+    // already-counted turns — they move nothing (not lastIdx, not
+    // gap, and not the turn/ok counters)
+    var gap = prev.gap
+    var last = prev.lastIdx
+    var ok = prev.okTurns
+    var turns = prev.turns
+    var maxTs = Long.MinValue
+    sorted.foreach { case (_, idx, status, ts) =>
+      if (ts != null) maxTs = math.max(maxTs, ts.getTime)
+      if (idx > last) {
+        if (idx > last + 1 && last >= 0) gap = true
+        last = idx
+        turns += 1
+        if (status == "ok") ok += 1
+      }
+    }
+    val next = ConvState(turns, ok, last, gap)
+    state.update(next)
+    // idle-timeout at max(seen event time, watermark) + gap — always
+    // strictly ahead of the current watermark, so the call is legal and
+    // the conversation closes once the watermark passes its last activity
+    state.setTimeoutTimestamp(
+      math.max(maxTs, state.getCurrentWatermarkMs()) + gapMs)
+    ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap,
+      closed = false)
   }
 }

@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(") && p.contains("HashAggregate"), p.take(1500))
   }
 
+  test("banded LSH near-dup joins are equi-joins on the band key, never cartesian") {
+    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_embedding_lsh")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degenerated to an all-pairs product:\n" + p.take(1500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q has no hash/merge equi-join:\n" + p.take(1500))
+    }
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)

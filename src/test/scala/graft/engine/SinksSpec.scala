@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("sinks-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("jdbc mirror is wired through Spark's JDBC source (no driver in this container)") {
+    import spark.implicits._
+    val df = Seq(("conv-0", 0, "ok")).toDF("conv_id", "turn_idx", "status")
+    // zero-egress container ships no JDBC driver: reaching the
+    // DriverManager resolution error proves the sink path goes through
+    // the real JDBC write (options applied, save() invoked) rather than
+    // being dead config
+    val e = intercept[Exception] {
+      Sinks.mirrorToJdbc(df,
+        Sinks.JdbcConfig("jdbc:postgresql://localhost:5432/graft", "results"))
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("driver"), s"unexpected failure: $msgs")
+  }
+}

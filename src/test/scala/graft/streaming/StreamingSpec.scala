@@ -63,8 +63,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val turns = TranscriptGen.turns(5, 16).toVector
     input.addData(turns)
     q1.processAllAvailable(); q2.processAllAvailable()
-    // second batch exercises state continuation
-    input.addData(turns.take(3).map(t => t.copy(turn_idx = t.turn_idx + 1000)))
+    // second batch exercises state continuation; fresh ts keeps the rows
+    // ahead of the watermark (sessionize drops late rows by design)
+    val maxTs = turns.map(_.ts.getTime).max
+    input.addData(turns.take(3).map(t => t.copy(turn_idx = t.turn_idx + 1000,
+      ts = new java.sql.Timestamp(maxTs + 1000))))
+    q2.processAllAvailable()
+    // third/fourth batches: a far-future turn on another conversation
+    // advances the watermark past every idle conversation's timeout ->
+    // their state is evicted and a final closed=true summary is emitted
+    // (bounded state on unbounded streams)
+    val future = new java.sql.Timestamp(maxTs + 6 * 60 * 60 * 1000L)
+    input.addData(Seq(turns.head.copy(conv_id = "conv-zz", ts = future)))
+    q2.processAllAvailable()
+    input.addData(Seq(turns.head.copy(conv_id = "conv-zz", turn_idx = 1,
+      ts = new java.sql.Timestamp(future.getTime + 60000))))
     q2.processAllAvailable()
     q1.stop(); q2.stop()
     assert(spark.table("roll_out").count() > 0)
@@ -74,5 +87,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c0 = sessRows.filter(_.conv_id == "conv-00000000").maxBy(_.turns)
     assert(c0.turns > 0 && c0.ok_turns <= c0.turns)
     assert(c0.gap_detected, "the +1000 turn_idx jump must flag a gap")
+    assert(sessRows.exists(r => r.conv_id == "conv-00000000" && r.closed),
+      "watermark past idle timeout must close the conversation's state")
   }
 }
