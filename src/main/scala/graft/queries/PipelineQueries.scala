@@ -107,11 +107,18 @@ object PipelineQueries {
         import s.implicits._
         val t = rd(s, d, "documents")
           .select($"doc_id", tokens($"text").as("toks"))
+        // the candidate-dedup shuffle carries bare (id_a, id_b) — token
+        // sets are re-joined only for the verified comparisons
+        val banded = t
           .withColumn("band", explode(lshBands(minHashSig($"toks", 6), 3, 2)))
-        val a = t.select($"band", $"doc_id".as("id_a"), $"toks".as("toks_a"))
-        val b = t.select($"band", $"doc_id".as("id_b"), $"toks".as("toks_b"))
-        a.join(b, Seq("band")).filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b", $"toks_a", $"toks_b").distinct()
+          .select($"band", $"doc_id")
+        val ids = banded.select($"band", $"doc_id".as("id_a"))
+          .join(banded.select($"band", $"doc_id".as("id_b")), Seq("band"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b").distinct()
+        ids
+          .join(t.select($"doc_id".as("id_a"), $"toks".as("toks_a")), Seq("id_a"))
+          .join(t.select($"doc_id".as("id_b"), $"toks".as("toks_b")), Seq("id_b"))
           .filter(round(jaccard($"toks_a", $"toks_b"), 6) >= 0.8)
           .groupBy($"id_b")
           .agg(min($"id_a").as("dup_of"), count(lit(1)).as("n_dups"))
@@ -120,10 +127,11 @@ object PipelineQueries {
       },
       Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
               |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
-              |bands AS (SELECT doc_id, toks, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
-              |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              |            a.toks AS toks_a, b.toks AS toks_b
-              |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+              |bands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT id_a, id_b, ta.toks AS toks_a, tb.toks AS toks_b
+              |          FROM ids JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
               |SELECT id_b AS doc_id, min(id_a) AS dup_of, count(*) AS n_dups
               |FROM pairs
               |WHERE round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
@@ -179,14 +187,18 @@ object PipelineQueries {
     "dd_minhash_lsh" -> Entry(
       (s, d) => {
         import s.implicits._
-        val docs = rd(s, d, "documents").filter($"doc_id" < 200)
+        val t = rd(s, d, "documents").filter($"doc_id" < 200)
           .select($"doc_id", shingles($"text", 5, 2000).as("toks"))
-          .withColumn("sig", minHashSig($"toks", 6))
-          .withColumn("band", explode(lshBands($"sig", 3, 2)))
-        val a = docs.select($"band", $"doc_id".as("id_a"), $"toks".as("toks_a"))
-        val b = docs.select($"band", $"doc_id".as("id_b"), $"toks".as("toks_b"))
-        a.join(b, Seq("band")).filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b", $"toks_a", $"toks_b").distinct()
+        val banded = t
+          .withColumn("band", explode(lshBands(minHashSig($"toks", 6), 3, 2)))
+          .select($"band", $"doc_id")
+        val ids = banded.select($"band", $"doc_id".as("id_a"))
+          .join(banded.select($"band", $"doc_id".as("id_b")), Seq("band"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b").distinct()
+        ids
+          .join(t.select($"doc_id".as("id_a"), $"toks".as("toks_a")), Seq("id_a"))
+          .join(t.select($"doc_id".as("id_b"), $"toks".as("toks_b")), Seq("id_b"))
           .withColumn("jac", round(jaccard($"toks_a", $"toks_b"), 6))
           .filter($"jac" >= 0.4)
           .select($"id_a", $"id_b", $"jac")
@@ -195,10 +207,11 @@ object PipelineQueries {
       Some(s"""WITH t AS (SELECT doc_id, $sqlShingles AS toks
               |          FROM documents WHERE doc_id < 200),
               |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
-              |bands AS (SELECT doc_id, toks, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
-              |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              |            a.toks AS toks_a, b.toks AS toks_b
-              |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+              |bands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT id_a, id_b, ta.toks AS toks_a, tb.toks AS toks_b
+              |          FROM ids JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
               |SELECT id_a, id_b,
               |  round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
               |        CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) AS jac
@@ -254,10 +267,14 @@ object PipelineQueries {
         val corpus = e.select($"vec_id", toDouble($"embedding").as("v"))
           .unionByName(e.select(($"vec_id" + 100000).as("vec_id"), pert.as("v")))
         val banded = corpus.withColumn("band", explode(lshBucketBands($"v", bp)))
-        val a = banded.select($"band", $"vec_id".as("id_a"), $"v".as("v_a"))
-        val b = banded.select($"band", $"vec_id".as("id_b"), $"v".as("v_b"))
-        a.join(b, Seq("band")).filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b", $"v_a", $"v_b").distinct()
+          .select($"band", $"vec_id")
+        val ids = banded.select($"band", $"vec_id".as("id_a"))
+          .join(banded.select($"band", $"vec_id".as("id_b")), Seq("band"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b").distinct()
+        ids
+          .join(corpus.select($"vec_id".as("id_a"), $"v".as("v_a")), Seq("id_a"))
+          .join(corpus.select($"vec_id".as("id_b"), $"v".as("v_b")), Seq("id_b"))
           .withColumn("cos", round(cosine($"v_a", $"v_b"), 6))
           .filter($"cos" >= 0.999)
           .select($"id_a", $"id_b", $"cos")
@@ -274,9 +291,11 @@ object PipelineQueries {
            |      v[j] * (CAST(1.0 AS DOUBLE) + CAST((j - 1) % 5 - 2 AS DOUBLE) * CAST(0.004 AS DOUBLE)))
            |  FROM e),
            |b AS (SELECT vec_id, v, unnest(${sqlHyperBandKeys(bp)}) AS band FROM corpus),
-           |pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
-           |            a.v AS v_a, c.v AS v_b
-           |          FROM b a JOIN b c ON a.band = c.band AND a.vec_id < c.vec_id)
+           |ids AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           |        FROM b a JOIN b c ON a.band = c.band AND a.vec_id < c.vec_id),
+           |pairs AS (SELECT id_a, id_b, ca.v AS v_a, cb.v AS v_b
+           |          FROM ids JOIN corpus ca ON ca.vec_id = id_a
+           |                   JOIN corpus cb ON cb.vec_id = id_b)
            |SELECT id_a, id_b, round(list_cosine_similarity(v_a, v_b), 6) AS cos
            |FROM pairs WHERE round(list_cosine_similarity(v_a, v_b), 6) >= 0.999
            |ORDER BY id_a, id_b""".stripMargin
