@@ -627,6 +627,27 @@ object Extract {
     (low.contains("signature") && low.contains("signed"))
   }
 
+  /** Layout span: page-normalized bounding box of a text-less line block
+    * (the OCR geometry the reference's Method 2 inspects). Transcripts
+    * carry no geometry, so this arm only activates when a caller supplies
+    * spans from a layout-parsing source.
+    */
+  final case class LayoutSpan(width: Double, height: Double, hasText: Boolean)
+
+  /** C4 geometry arm (detect_signature Method 2,
+    * Ethan_PDFandJPG3.py:498-508): a wide, short, TEXT-LESS line block
+    * reads as a handwritten signature stroke.
+    */
+  def detectSignatureGeometry(spans: Seq[LayoutSpan]): Boolean =
+    spans.exists(s => s.width > 0.2 && s.height < 0.05 && !s.hasText)
+
+  /** Full C4 ladder in the reference's arm order: geometry (Method 2)
+    * before text indicators (Method 3). Method 1 (native SIGNATURE
+    * blocks) has no analog without an OCR backend.
+    */
+  def detectSignatureFull(text: String, spans: Seq[LayoutSpan]): Boolean =
+    detectSignatureGeometry(spans) || detectSignature(text)
+
   // -------------------------------------------------------------------------
   // Confidence (A1/A2).
   // -------------------------------------------------------------------------

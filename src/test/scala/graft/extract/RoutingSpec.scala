@@ -96,6 +96,19 @@ class RoutingSpec extends AnyFunSuite {
     assert(dr("Physician Signature") == "Present") // rule 12
   }
 
+  test("C4 geometry arm: wide short text-less span reads as a signature stroke") {
+    import Extract.LayoutSpan
+    assert(Extract.detectSignatureGeometry(Seq(LayoutSpan(0.3, 0.04, hasText = false))))
+    // each single-condition violation: too narrow / too tall / has text
+    assert(!Extract.detectSignatureGeometry(Seq(LayoutSpan(0.15, 0.04, hasText = false))))
+    assert(!Extract.detectSignatureGeometry(Seq(LayoutSpan(0.3, 0.06, hasText = false))))
+    assert(!Extract.detectSignatureGeometry(Seq(LayoutSpan(0.3, 0.04, hasText = true))))
+    // full ladder: geometry arm fires without any text indicator
+    assert(Extract.detectSignatureFull("no indicators here",
+      Seq(LayoutSpan(0.5, 0.02, hasText = false))))
+    assert(!Extract.detectSignatureFull("no indicators here", Seq.empty))
+  }
+
   test("routedRecordJson: canonical nested shape, sections sorted") {
     val j = Extract.routedRecordJson("Patient Name: Ana Li\nuses a breast pump")
     assert(j.startsWith("{\"doctor\":{"))
