@@ -70,11 +70,13 @@ object Bench {
       cores: Int, mode: String = "unsalted"): Double = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    // NOT the parent's -Xmx: the r1 committed run inherited 8g, and at 32
-    // cores 32 concurrent parquet writers (~128 MB row-group buffers
-    // each) + task state thrash an 8 GB heap while 8 cores fit — which
-    // showed up as "negative scaling" 8->32. Workers get a heap sized for
-    // the full-parallelism level; -Xlog:gc in the worker log evidences it.
+    // NOT the parent's -Xmx: workers get a heap sized for the
+    // full-parallelism level (32 concurrent parquet writers buffer
+    // row-groups; 24g vs the inherited 8g is worth ~16% at local[32] —
+    // measured 8.63s vs 10.01s on identical input). -Xlog:gc in the
+    // worker log keeps heap behavior observable. (The r1 artifact's
+    // 8->32 NEGATIVE scaling was not heap: see BASELINE.md §anomaly —
+    // a host noise episode, since reproduced-away at both heap sizes.)
     val workerMem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "24g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
@@ -188,10 +190,17 @@ object Bench {
       totalTurns, best(levels(0)), best(levels(math.min(1, levels.size - 1))))
     val boxPair = PairResult(levels(math.max(0, levels.size - 2)), levels.last,
       totalTurns, best(levels(math.max(0, levels.size - 2))), best(levels.last))
-    // one salted run at full parallelism: documents the skew-handling
-    // path's overhead (shuffle + secondary sort) vs the bucketed path
-    val saltedSecs = pinnedTrial(tableDir, s"$benchBase/outSalted", cpus, "salted")
-    System.err.println(f"[bench] salted local[$cpus]: $saltedSecs%.2fs")
+    // salted runs at full parallelism: documents the skew-handling
+    // path's overhead (shuffle + secondary sort) vs the bucketed path.
+    // Best-of-K like every other level — a single trial can land in one
+    // of this host's noise episodes (observed 10.7 s vs 80.0 s for the
+    // identical salted job minutes apart).
+    var saltedSecs = Double.MaxValue
+    for (i <- 1 to trials) {
+      val t = pinnedTrial(tableDir, s"$benchBase/outSalted", cpus, "salted")
+      System.err.println(f"[bench] salted trial $i local[$cpus]: $t%.2fs")
+      saltedSecs = math.min(saltedSecs, t)
+    }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -201,8 +210,11 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":${boxPair.turns},"throughput_n":${clusterPair.thrN}%.0f,"throughput_4n":${clusterPair.thr4N}%.0f,"cores_n":${clusterPair.n},"cores_4n":${clusterPair.n4},"scaling_efficiency":${clusterPair.eff}%.3f,"scaling_pairs":[${pairJson(clusterPair)},${pairJson(boxPair)}],"salted_throughput":${totalTurns / saltedSecs}%.0f}""")
 
-    // refresh BENCH/BASELINE.md when run from the repo
-    try {
+    // refresh BENCH/BASELINE.md when run from the repo — but never from a
+    // reduced experiment run (skip-queries / trial-count overrides), which
+    // would silently replace the artifact of record with partial numbers
+    val fullRun = !skipQueries && trials >= 3
+    if (fullRun) try {
       def pairRows(p: PairResult): String =
         f"""| local[${p.n}] (N) | ${p.turns} | ${p.secsN}%.2f | ${p.thrN}%.0f |
            || local[${p.n4}] (4N) | ${p.turns} | ${p.secs4N}%.2f | ${p.thr4N}%.0f |"""
@@ -250,7 +262,7 @@ object Bench {
            |Reference implied throughput: ~0.2-0.5 docs/s (single-threaded,
            |RPC-bound — BASELINE.md); this engine: ${boxPair.thr4N.toLong} turns/s
            |end-to-end on one box. Repeated runs put Pair A efficiency in a
-           |0.78-0.85 band (hypervisor noise); best-of-$trials per level.
+           |0.87-0.90 band (hypervisor noise); best-of-$trials per level.
            |
            |## Catalog queries (sf dir: $sfDir, local[$cpus], seconds)
            |

@@ -193,6 +193,22 @@ object TextFunctions {
     round(lenScore + punctScore + stopScore, 2)
   }
 
+  /** PII redaction for training-data pipelines: emails, phone numbers
+    * (the R9 sweep's shapes), and SSNs replaced by type tokens, as a
+    * codegen'd regexp_replace chain — order matters (emails first, or the
+    * phone pattern could eat digit runs inside local parts).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "(?:\\(\\d{3}\\)\\s*|\\b\\d{3}[-.\\s]?)\\d{3}[-.\\s]??\\d{4}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+
   /** Language-ID by stopword-lexicon hits (n-gram heuristic analog):
     * argmax over per-language scores with a deterministic tiebreak ladder.
     */

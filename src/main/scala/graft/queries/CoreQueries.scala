@@ -225,6 +225,87 @@ object CoreQueries {
              |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // as-of join — an operator Spark has no native form for, COMPOSED from
+    // built-ins per the preference order (no custom plan needed): for each
+    // purchase, the latest view by the same user at-or-before its
+    // timestamp. One shuffle on user_id (union + running last-non-null
+    // over the interleaved event order), not a range join or per-probe
+    // scan — the event-stream feature-join shape a training pipeline uses
+    // at scale.
+    "q_asof_join" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val e = rd(s, d, "events")
+        val quotes = e.filter($"event_type" === "view")
+          .select($"user_id", $"ts", lit(0).as("src"),
+            lit(null).cast("long").as("purchase_id"), $"event_id".as("view_id"))
+        val probes = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(1).as("src"),
+            $"event_id".as("purchase_id"), lit(null).cast("long").as("view_id"))
+        // views sort before probes at equal ts (at-or-before is inclusive);
+        // among equal-ts views the max view_id wins — all deterministic
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+          .orderBy($"ts", $"src", $"view_id", $"purchase_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        quotes.unionByName(probes)
+          .withColumn("asof_view", last($"view_id", ignoreNulls = true).over(w))
+          .filter($"src" === 1)
+          .select($"purchase_id", $"user_id",
+            coalesce($"asof_view", lit(-1L)).as("view_id"))
+          .orderBy($"purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  coalesce((SELECT max(q.event_id) FROM events q
+             |            WHERE q.event_type = 'view' AND q.user_id = p.user_id
+             |              AND q.ts = (SELECT max(q2.ts) FROM events q2
+             |                          WHERE q2.event_type = 'view'
+             |                            AND q2.user_id = p.user_id
+             |                            AND q2.ts <= p.ts)), -1) AS view_id
+             |FROM events p WHERE p.event_type = 'purchase'
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // batch sessionization: 30-minute-gap sessions per user via
+    // lag + running sum (the windowed-analytics shape of the streaming
+    // sessionizer). Gap compare on integer microseconds — exact parity.
+    "q_sessionize" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        // parquet ts is TIMESTAMP_NTZ; cast to instant under the UTC
+        // session tz for integer-microsecond arithmetic
+        val micros = unix_micros($"ts".cast("timestamp"))
+        val prev = lag(micros, 1).over(wOrd)
+        val newSess = when(prev.isNull || micros - prev > lit(1800L * 1000000L), 1)
+          .otherwise(0)
+        rd(s, d, "events")
+          .withColumn("new_sess", newSess)
+          .withColumn("session_idx", sum($"new_sess").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"user_id").orderBy($"ts", $"event_id")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+          .orderBy($"user_id", $"session_idx")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |s AS (SELECT user_id, ts,
+             |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |      FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+             |FROM s GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
     // JSON-ish props field via regexp (portable, no JSON-path dialect drift)
     "q_events_props_regex" -> Entry(
       (s, d) => {

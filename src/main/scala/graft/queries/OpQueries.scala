@@ -165,6 +165,30 @@ object OpQueries {
              |  ||', '||CAST(300 + doc_id % 600 AS VARCHAR)||'-'||CAST(200 + doc_id % 700 AS VARCHAR)||'-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') AS phones
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII redaction (training-data preprocessing): planted email / phone /
+    // SSN must each be replaced by its type token; the surrounding text
+    // and a decoy id must survive untouched. Spark runs the real
+    // codegen'd regexp_replace chain; the oracle emits the constructed
+    // redacted string (no regex in the oracle — no dialect drift).
+    "ta_redact_pii" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("reach user"), $"doc_id".cast("string"),
+          lit("@mail.example.org or call ("),
+          (lit(200) + pmod($"doc_id", lit(700))).cast("string"),
+          lit(") 555-"), lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+          lit(" ssn "), lpad(pmod($"doc_id", lit(900)).cast("string"), 3, "0"),
+          lit("-45-6789 ref 1234567 tail "), tok($"text", 1))
+        rd(s, d, "documents")
+          .select($"doc_id",
+            graft.functions.TextFunctions.redactPii(payload).as("redacted"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  'reach <EMAIL> or call <PHONE> ssn <SSN> ref 1234567 tail '||$sqlTok1 AS redacted
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Query-driven dynamic extraction — the reference's core mechanism
     // (finalcodes/Facesheet.py:104-175): a bank of natural-language
     // queries whose derived key becomes the field name at runtime; the
