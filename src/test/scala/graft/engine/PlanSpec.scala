@@ -73,6 +73,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("windowed event queries shuffle once on user_id; windows and agg reuse it") {
+    // q_sessionize: lag-window + sum-window + groupBy all run on ONE
+    // exchange; q_asof_join: union + running-last on one exchange.
+    // The only second exchange allowed is the final presentation orderBy.
+    for (q <- Seq("q_asof_join", "q_sessionize")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      val tree = p.split("\n").takeWhile(l => !l.startsWith("(1)"))
+      val n = tree.count(_.contains("Exchange"))
+      assert(n <= 2, s"$q re-shuffles between stages ($n exchanges):\n" +
+        tree.mkString("\n"))
+    }
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
