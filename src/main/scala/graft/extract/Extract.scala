@@ -167,6 +167,26 @@ object Extract {
   def keywordScore(lowText: String, kws: Vector[String]): Int =
     kws.count(lowText.contains)
 
+  /** C1 — filename fast-path classifier (check_document_content's
+    * filename ladder, Ethan_PDFandJPG3.py:540-560), with the reference's
+    * exact substring arms and precedence, mapped onto this engine's
+    * canonical class names. None -> fall through to the content
+    * classifier.
+    */
+  def classifyFilename(key: String): Option[String] = {
+    val k = key.toLowerCase
+    if (k.contains("insurancecard")) Some("INSURANCE")
+    else if (k.contains("facesheet")) Some("FACESHEET")
+    else if (k.contains("signed_agreement") ||
+      (k.contains("agreement") && !k.contains("prescription"))) Some("AGREEMENT")
+    else if (k.contains("prescription") && !k.contains("agreement")) Some("PRESCRIPTION")
+    else if (k.contains("id") && k.contains("card")) Some("ID_DOCUMENT")
+    else None
+  }
+
+  def classifyWithFilename(key: String, text: String): String =
+    classifyFilename(key).getOrElse(classify(text))
+
   def classify(text: String): String = {
     val low = text.toLowerCase
     val fs = keywordScore(low, facesheetKeywords)

@@ -165,6 +165,81 @@ object OpQueries {
              |  ||', '||CAST(300 + doc_id % 600 AS VARCHAR)||'-'||CAST(200 + doc_id % 700 AS VARCHAR)||'-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') AS phones
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // P2 — HTML boilerplate strip (the north rule's main-content
+    // extraction): a constructed page with two content blocks, a
+    // link-farm block (link density >= 0.35) and a too-short block; the
+    // real density classifier must keep exactly the content blocks.
+    "p2_boilerplate" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("<html><body>\n<div>Main paragraph content alpha "), tok($"text", 1),
+          lit(" with enough words to be kept here today.</div>\n"),
+          lit("<div><a href=\"x\">nav link one</a> <a href=\"y\">nav two</a></div>\n"),
+          lit("<div>short</div>\n<p>Second kept block bravo "), tok($"text", 2),
+          lit(" also has enough words to stay put.</p>\n</body></html>"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "main_text")(Extract.extractText)
+      },
+      Some(s"""SELECT doc_id,
+              |  'Main paragraph content alpha '||$sqlTok1||' with enough words to be kept here today.'
+              |  ||chr(10)||'Second kept block bravo '||$sqlTok2||' also has enough words to stay put.' AS main_text
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F8/E1 — validity quarantine: an empty payload must produce a
+    // failed:empty status row (never abort), everything else extracts ok.
+    "f8_quarantine" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = when(pmod($"doc_id", lit(5)) === 0, lit(""))
+          .otherwise(concat(lit("plain words "), tok($"text", 1)))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val e = Extract.extractTurn(s"doc-$id", 0, p)
+            (id, e.status, e.doc_type)
+          })
+          .toDF("doc_id", "status", "doc_type")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'failed:empty' ELSE 'ok' END AS status,
+             |  'UNKNOWN' AS doc_type
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C1 — filename fast-path classifier: the reference's substring
+    // ladder over object keys, falling through to the content classifier
+    // when the name is uninformative.
+    "c1_filename_classify" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val m6 = pmod($"doc_id", lit(6))
+        val fname = when(m6 === 0, concat(lit("scan_"), tok($"text", 1),
+            lit("_INSURANCECARD_capture.png")))
+          .when(m6 === 1, concat(lit("FACESHEET_"), $"doc_id".cast("string"), lit(".pdf")))
+          .when(m6 === 2, lit("signed_agreement_v2.pdf"))
+          .when(m6 === 3, lit("prescription_form.jpg"))
+          .when(m6 === 4, lit("national_id_card.png"))
+          .otherwise(concat(lit("notes_"), tok($"text", 1), lit(".txt")))
+        val df = rd(s, d, "documents")
+          .select($"doc_id", fname.as("fname"), lit("no ladder words in this text").as("content"))
+        df.select(col("doc_id").cast("long"), col("fname"), col("content"))
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, f, c) =>
+            (id, Extract.classifyWithFilename(f, c))
+          })
+          .toDF("doc_id", "doc_type")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CASE doc_id % 6
+             |  WHEN 0 THEN 'INSURANCE'
+             |  WHEN 1 THEN 'FACESHEET'
+             |  WHEN 2 THEN 'AGREEMENT'
+             |  WHEN 3 THEN 'PRESCRIPTION'
+             |  WHEN 4 THEN 'ID_DOCUMENT'
+             |  ELSE 'UNKNOWN' END AS doc_type
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // PII redaction (training-data preprocessing): planted email / phone /
     // SSN must each be replaced by its type token; the surrounding text
     // and a decoy id must survive untouched. Spark runs the real
