@@ -38,25 +38,32 @@ object XQueries {
     out.orderBy(col("doc_id"))
   }
 
+  /** The facesheet-shaped payload shared by x_pipeline_facesheet and the
+    * engine-path gate x_e2e_engine (one construction, one oracle formula).
+    */
+  private def facesheetPayload(doc_id: Column, text: Column): Column = {
+    val guarantor = when(pmod(doc_id, lit(3)) === 0, lit(""))
+      .otherwise(concat(lit(" "), upper(tok(text, 2))))
+    concat(
+      lit("PATIENT INFORMATION\nPatient Name: "),
+      upper(tok(text, 1)), lit(", "), upper(tok(text, 2)),
+      lit("\nPatient Date of Birth: "), dateCol(doc_id),
+      lit("\nPatient Phone Number: ("),
+      (lit(200) + pmod(doc_id, lit(700))).cast("string"), lit(") 555-"),
+      lpad(pmod(doc_id, lit(10000)).cast("string"), 4, "0"),
+      lit("\nMRN: "), (lit(1000000) + doc_id).cast("string"),
+      lit("\nPatient insurance provider: Prov"),
+      pmod(doc_id, lit(5)).cast("string"),
+      lit("\nGuarantor Name:"), guarantor)
+  }
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // facesheet: classifier + KV anchors + patient bank + A1 confidence
     "x_pipeline_facesheet" -> Entry(
       (s, d) => {
         import s.implicits._
-        val guarantor = when(pmod($"doc_id", lit(3)) === 0, lit(""))
-          .otherwise(concat(lit(" "), upper(tok($"text", 2))))
-        val payload = concat(
-          lit("PATIENT INFORMATION\nPatient Name: "),
-          upper(tok($"text", 1)), lit(", "), upper(tok($"text", 2)),
-          lit("\nPatient Date of Birth: "), dateCol($"doc_id"),
-          lit("\nPatient Phone Number: ("),
-          (lit(200) + pmod($"doc_id", lit(700))).cast("string"), lit(") 555-"),
-          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
-          lit("\nMRN: "), (lit(1000000) + $"doc_id").cast("string"),
-          lit("\nPatient insurance provider: Prov"),
-          pmod($"doc_id", lit(5)).cast("string"),
-          lit("\nGuarantor Name:"), guarantor)
+        val payload = facesheetPayload($"doc_id", $"text")
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
         runExtractor(s, df)(
           e => Seq(e.doc_type,
@@ -212,6 +219,36 @@ object XQueries {
              |  '1.0' AS confidence,
              |  'ok' AS status
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the ENGINE path oracle-gated end-to-end: constructed conversations
+    // (conv_id/turn_idx derived from doc_id, facesheet payloads) run
+    // through ExtractJob.extract with the salted skew shuffle + secondary
+    // sort + fused mapPartitions — so the distributed path itself (not
+    // just the pure extractor) must reproduce the constructed truth
+    // per-turn under stable (conv_id, turn_idx) ordering.
+    "x_e2e_engine" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val turns = rd(s, d, "documents").select(
+          concat(lit("c"), lpad(pmod($"doc_id", lit(20)).cast("string"), 2, "0"))
+            .as("conv_id"),
+          (($"doc_id" - pmod($"doc_id", lit(20))) / 20).cast("int").as("turn_idx"),
+          facesheetPayload($"doc_id", $"text").as("text"))
+        graft.engine.ExtractJob.extract(s, turns, salted = true, saltBuckets = 8)
+          .toDF()
+          .select($"conv_id", $"turn_idx", $"doc_type",
+            $"signature_present".cast("string").as("signature_present"),
+            round($"confidence", 6).cast("string").as("confidence"),
+            $"status")
+          .orderBy($"conv_id", $"turn_idx")
+      },
+      Some("""SELECT 'c'||lpad(CAST(doc_id % 20 AS VARCHAR),2,'0') AS conv_id,
+             |  CAST(doc_id // 20 AS INT) AS turn_idx,
+             |  'FACESHEET' AS doc_type,
+             |  'false' AS signature_present,
+             |  CAST(round((11 - CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) / 11.0, 6) AS VARCHAR) AS confidence,
+             |  'ok' AS status
+             |FROM documents ORDER BY conv_id, turn_idx""".stripMargin)),
 
     // full generated-transcripts pipeline: classify/extract distribution
     // (generator not expressible in SQL → rows-only gate; exact per-turn
