@@ -489,6 +489,49 @@ object PipelineQueries {
              |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // vocabulary building: global token frequencies, top-50 (the
+    // explode -> partial-agg -> final-agg shuffle every tokenizer-vocab
+    // job runs; count is map-side combined before the one shuffle)
+    "ta_vocab_topk" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "documents")
+          .select(explode(tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"n_docs".desc, $"token")
+          .limit(50)
+      },
+      Some(s"""SELECT token, count(*) AS n_docs
+              |FROM (SELECT unnest($sqlToks) AS token FROM documents)
+              |GROUP BY token ORDER BY n_docs DESC, token LIMIT 50""".stripMargin)),
+
+    // document-length histogram: fixed power-of-two buckets (the corpus
+    // profile a data-quality dashboard reads)
+    "ta_length_histogram" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val bucket = when($"n_chars" < 64, "0-63")
+          .when($"n_chars" < 128, "64-127")
+          .when($"n_chars" < 256, "128-255")
+          .when($"n_chars" < 512, "256-511")
+          .otherwise("512+")
+        rd(s, d, "documents")
+          .groupBy(bucket.as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars".cast("long")).as("sum_chars"))
+          .orderBy($"len_bucket")
+      },
+      Some("""SELECT CASE
+             |    WHEN n_chars < 64 THEN '0-63'
+             |    WHEN n_chars < 128 THEN '64-127'
+             |    WHEN n_chars < 256 THEN '128-255'
+             |    WHEN n_chars < 512 THEN '256-511'
+             |    ELSE '512+' END AS len_bucket,
+             |  count(*) AS n_docs,
+             |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin)),
+
     // rolling-hash document fingerprint (first 64 chars)
     "ta_fingerprint" -> Entry(
       (s, d) => {
