@@ -261,10 +261,10 @@ object Bench {
            |
            |Reference implied throughput: ~0.2-0.5 docs/s (single-threaded,
            |RPC-bound — BASELINE.md); this engine: ${boxPair.thr4N.toLong} turns/s
-           |end-to-end on one box. Across four full r2 runs Pair A measured
-           |0.904 / 0.871 / 0.785 / 0.855 — the cross-level ratio is
-           |noise-sensitive even with best-of-$trials per level, so treat
-           |~0.86 +- 0.05 as the band and the committed number as one draw.
+           |end-to-end on one box. Five full r2 runs measured Pair A at
+           |0.904 / 0.871 / 0.785 / 0.855 / 0.745 (median 0.855) — the
+           |cross-level ratio is noise-sensitive even with best-of-$trials
+           |per level; the committed record keeps the MEDIAN run's tables.
            |
            |## Catalog queries (sf dir: $sfDir, local[$cpus], seconds)
            |
