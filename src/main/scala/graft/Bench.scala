@@ -154,11 +154,10 @@ object Bench {
     // This sandbox is also a shared hypervisor (steal spikes under
     // neighbor load), so each level is measured best-of-K interleaved.
     val benchBase = Files.createTempDirectory("graft-bench").toString
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     // every level gets the full best-of-K budget: the r1 artifact's
     // Pair-B anomaly was amplified by giving the top level only K/2
     // chances against this host's multi-minute noise episodes
-    def trialsFor(lvl: Int): Int = trials
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
 
     final case class PairResult(n: Int, n4: Int, turns: Long,
         secsN: Double, secs4N: Double) {
@@ -179,7 +178,7 @@ object Bench {
     // exist for any SPARK_GRAFT_CPUS (default 32 -> 2 / 8 / 32)
     val levels = Seq(math.max(1, cpus / 16), math.max(2, cpus / 4), cpus).distinct
     val best = scala.collection.mutable.Map(levels.map(_ -> Double.MaxValue): _*)
-    for (i <- 1 to trials; lvl <- levels; if i <= trialsFor(lvl)) {
+    for (i <- 1 to trials; lvl <- levels) {
       val t = withBallast(lvl, cpus) {
         pinnedTrial(tableDir, s"$benchBase/out$lvl", lvl)
       }

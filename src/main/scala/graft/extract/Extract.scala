@@ -443,7 +443,13 @@ object Extract {
     */
   def queryBank(queries: Seq[String], text: String): Map[String, String] = {
     val anchors = kvAnchors(text)
-    val byKey = anchors.map { case (k, v) => k.toLowerCase -> v }.toMap
+    // first-wins also across CASE-variant keys ("MRN:" vs "Mrn:"),
+    // consistent with kvAnchors' first-occurrence rule per exact key
+    val byKey = anchors.foldLeft(Map.empty[String, String]) {
+      case (m, (k, v)) =>
+        val kl = k.toLowerCase
+        if (m.contains(kl)) m else m + (kl -> v)
+    }
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (q <- queries) {
       val key = queryKey(q)

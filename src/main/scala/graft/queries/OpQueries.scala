@@ -220,7 +220,9 @@ object OpQueries {
           .when(m6 === 2, lit("signed_agreement_v2.pdf"))
           .when(m6 === 3, lit("prescription_form.jpg"))
           .when(m6 === 4, lit("national_id_card.png"))
-          .otherwise(concat(lit("notes_"), tok($"text", 1), lit(".txt")))
+          // constant fallthrough name: a corpus token could itself contain
+          // a ladder substring and silently flip the hardcoded oracle
+          .otherwise(lit("notes_plain.txt"))
         val df = rd(s, d, "documents")
           .select($"doc_id", fname.as("fname"), lit("no ladder words in this text").as("content"))
         df.select(col("doc_id").cast("long"), col("fname"), col("content"))
@@ -254,14 +256,18 @@ object OpQueries {
           (lit(200) + pmod($"doc_id", lit(700))).cast("string"),
           lit(") 555-"), lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
           lit(" ssn "), lpad(pmod($"doc_id", lit(900)).cast("string"), 3, "0"),
-          lit("-45-6789 ref 1234567 tail "), tok($"text", 1))
+          // tail token stripped to lowercase letters: a digit- or
+          // email-shaped corpus token would itself be redacted by Spark
+          // but not by the constructed oracle
+          lit("-45-6789 ref 1234567 tail "),
+          regexp_replace(tok($"text", 1), "[^a-z]", ""))
         rd(s, d, "documents")
           .select($"doc_id",
             graft.functions.TextFunctions.redactPii(payload).as("redacted"))
           .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
-              |  'reach <EMAIL> or call <PHONE> ssn <SSN> ref 1234567 tail '||$sqlTok1 AS redacted
+              |  'reach <EMAIL> or call <PHONE> ssn <SSN> ref 1234567 tail '||regexp_replace($sqlTok1, '[^a-z]', '', 'g') AS redacted
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Query-driven dynamic extraction — the reference's core mechanism

@@ -403,7 +403,13 @@ object PipelineQueries {
     "mm_decode_batched" -> Entry(
       (s, d) => {
         import s.implicits._
-        val media = Multimodal.mediaFromDocuments(s, rd(s, d, "documents"))
+        // payload restricted to printable ASCII on BOTH sides so byte
+        // positions == character positions: the stub decodes UTF-8 BYTES
+        // while the oracle can only index CHARACTERS — without this a
+        // single multi-byte character would desynchronize the strides
+        val docs = rd(s, d, "documents")
+          .withColumn("text", regexp_replace($"text", "[^ -~]", ""))
+        val media = Multimodal.mediaFromDocuments(s, docs)
         Multimodal.decodeFeatures(s, media, batchSize = 64)
           .select($"doc_id", $"media_type", $"n_bytes",
             round(element_at($"features", 1), 6).as("f0"),
@@ -413,17 +419,18 @@ object PipelineQueries {
       Some {
         def feat(k: Int) =
           s"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-            s"list_transform(generate_series(${k + 1}, length(text), 8), " +
-            s"i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE) / CAST(255.0 AS DOUBLE))), " +
-            s"(a, x) -> a + x) / greatest(1, length(text) // 8), 6)"
-        s"""SELECT doc_id,
+            s"list_transform(generate_series(${k + 1}, length(t), 8), " +
+            s"i -> CAST(ascii(substr(t, i, 1)) AS DOUBLE) / CAST(255.0 AS DOUBLE))), " +
+            s"(a, x) -> a + x) / greatest(1, length(t) // 8), 6)"
+        s"""WITH src AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+           |SELECT doc_id,
            |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
            |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
            |       ELSE 'video/mp4' END AS media_type,
-           |  length(text) AS n_bytes,
+           |  length(t) AS n_bytes,
            |  ${feat(0)} AS f0,
            |  ${feat(1)} AS f1
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM src ORDER BY doc_id""".stripMargin
       }),
 
     // ---------------- Text analysis ----------------

@@ -77,9 +77,14 @@ object StreamingExtract {
       state: GroupState[ConvState], gapMs: Long): ConvSummary = {
     val prev = state.getOption.getOrElse(ConvState(0, 0, -1, gap = false))
     val sorted = rows.toSeq.sortBy(_._2)
-    // replay tolerance: rows at idx <= lastIdx are duplicates of
-    // already-counted turns — they move nothing (not lastIdx, not
-    // gap, and not the turn/ok counters)
+    // replay tolerance: rows at idx <= lastIdx move nothing (not lastIdx,
+    // not gap, not the turn/ok counters). Deliberate trade: distinguishing
+    // a REPLAY of a counted turn from a late-arriving DISTINCT turn below
+    // lastIdx would need per-turn seen-state (unbounded); counters are
+    // therefore exact for in-order and replayed delivery, while a late
+    // distinct turn is uncounted — its absence was already flagged by
+    // `gap` when the stream skipped past it, and the watermark bounds how
+    // late it could have arrived anyway.
     var gap = prev.gap
     var last = prev.lastIdx
     var ok = prev.okTurns
