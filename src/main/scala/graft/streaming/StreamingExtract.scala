@@ -29,6 +29,16 @@ object StreamingExtract {
     }.toDF("conv_id", "turn_idx", "doc_type", "confidence", "status", "ts")
   }
 
+  /** Streaming exact dedup at the ingest boundary: drop replayed turns by
+    * their natural key within the watermark horizon — state is bounded by
+    * the watermark (old keys are evicted), which is the only shape exact
+    * streaming dedup can take on an unbounded stream.
+    */
+  def dedupStream(turns: DataFrame): DataFrame =
+    turns
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** Watermarked tumbling-window rollup: doc-type mix and mean confidence
     * per 10-minute window (the streaming analog of the lineage rollup).
     */

@@ -49,6 +49,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("streaming dedup drops replayed turns within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val deduped = StreamingExtract.dedupStream(input.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-dedup").toString)
+      .start()
+    val turns = TranscriptGen.turns(3, 8).toVector
+    input.addData(turns ++ turns.take(4)) // in-batch duplicates
+    q.processAllAvailable()
+    input.addData(turns.take(5))          // cross-batch replay
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().toVector
+    assert(got.size == turns.size, s"expected ${turns.size} unique, got ${got.size}")
+    assert(got.distinct.size == got.size)
+  }
+
   test("watermarked windowed rollup and stateful sessionization run on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -27,6 +27,15 @@ object StreamProbe {
     q.processAllAvailable(); q.stop()
     spark.table("probe_out").orderBy("doc_type").show(20, truncate = false)
     println("PROBE_ROWS=" + spark.table("probe_out").count())
+    // drive the watermark-bounded exact dedup over the same file source
+    val q2 = StreamingExtract.dedupStream(src)
+      .writeStream.format("memory").queryName("dedup_probe")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sp-ck").toString)
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    println("DEDUP_ROWS=" + spark.table("dedup_probe").count())
     spark.stop()
   }
 }
