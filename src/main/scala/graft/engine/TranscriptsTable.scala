@@ -97,11 +97,16 @@ object TranscriptsTable {
     spark.read.parquet(snap.path)
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
-  /** Read every registered snapshot as one DataFrame. */
+  /** Read every registered snapshot as one DataFrame. basePath makes the
+    * sibling `snapshot=N` roots legal partition directories of one table —
+    * without it Spark's partition discovery rejects a multi-snapshot read
+    * as CONFLICTING_DIRECTORY_STRUCTURES (latent until a table actually
+    * held two snapshots). The explicit select drops the layout columns.
+    */
   def readAll(spark: SparkSession, baseDir: String): DataFrame = {
     val snaps = readManifest(baseDir)
     require(snaps.nonEmpty, s"no snapshots registered under $baseDir")
-    spark.read.parquet(snaps.map(_.path): _*)
+    spark.read.option("basePath", baseDir).parquet(snaps.map(_.path): _*)
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
   }
 

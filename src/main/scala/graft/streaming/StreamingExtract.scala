@@ -17,6 +17,12 @@ import graft.model.Turn
   */
 object StreamingExtract {
 
+  /** One lateness horizon shared by every stateful operator here: a dedup
+    * horizon shorter than the rollup/session watermark would silently
+    * change which rows each stage keeps.
+    */
+  val WatermarkDelay = "30 minutes"
+
   /** Per-turn extraction on a stream: identical semantics to the batch
     * job (same pure function), exactly-once per micro-batch under
     * checkpointing.
@@ -36,7 +42,7 @@ object StreamingExtract {
     */
   def dedupStream(turns: DataFrame): DataFrame =
     turns
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
   /** Watermarked tumbling-window rollup: doc-type mix and mean confidence
@@ -44,7 +50,7 @@ object StreamingExtract {
     */
   def windowedQuality(extracted: DataFrame): DataFrame =
     extracted
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkDelay)
       .groupBy(window(col("ts"), "10 minutes"), col("doc_type"))
       .agg(count(lit(1)).as("n_turns"),
         avg(col("confidence")).as("mean_confidence"))
@@ -67,7 +73,7 @@ object StreamingExtract {
       gapMs: Long = 30 * 60 * 1000L): Dataset[ConvSummary] = {
     import spark.implicits._
     extracted
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkDelay)
       .select($"conv_id", $"turn_idx", $"status", $"ts")
       .as[(String, Int, String, java.sql.Timestamp)]
       .groupByKey(_._1)

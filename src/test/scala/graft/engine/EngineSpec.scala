@@ -128,6 +128,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.exists(_.contains("snapshot=1")))
   }
 
+  test("readAll spans multiple snapshots (sibling snapshot= roots, one table)") {
+    // regression: without basePath, Spark partition discovery rejects two
+    // sibling snapshot=N directories as CONFLICTING_DIRECTORY_STRUCTURES
+    val dir = tmpDir()
+    TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
+    TranscriptsTable.appendSnapshot(spark, dir, 2, 5, 5, 8, buckets = 2)
+    val all = TranscriptsTable.readAll(spark, dir)
+    val perSnap = TranscriptsTable.readManifest(dir)
+      .map(s => TranscriptsTable.readSnapshot(spark, s).count()).sum
+    assert(all.count() == perSnap)
+    assert(all.columns.toSeq ==
+      Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+  }
+
   test("resume: completed snapshots are skipped; no duplicated or lost turns") {
     val dir = tmpDir(); val out = tmpDir()
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 10, 32, buckets = 2)

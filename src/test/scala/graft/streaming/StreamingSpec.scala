@@ -62,7 +62,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val turns = TranscriptGen.turns(3, 8).toVector
     input.addData(turns ++ turns.take(4)) // in-batch duplicates
     q.processAllAvailable()
-    input.addData(turns.take(5))          // cross-batch replay
+    // cross-batch replay must use rows still WITHIN the watermark horizon
+    // (maxTs - 30min) — replaying the earliest turns would be dropped as
+    // late data and never exercise the cross-batch dedup state
+    val horizon = turns.map(_.ts.getTime).max - 25 * 60 * 1000L
+    val replay = turns.filter(_.ts.getTime >= horizon)
+    assert(replay.nonEmpty)
+    input.addData(replay)
     q.processAllAvailable()
     q.stop()
     val got = spark.table("dedup_out")

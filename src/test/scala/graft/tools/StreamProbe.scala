@@ -27,15 +27,30 @@ object StreamProbe {
     q.processAllAvailable(); q.stop()
     spark.table("probe_out").orderBy("doc_type").show(20, truncate = false)
     println("PROBE_ROWS=" + spark.table("probe_out").count())
-    // drive the watermark-bounded exact dedup over the same file source
-    val q2 = StreamingExtract.dedupStream(src)
+    // drive the watermark-bounded exact dedup over a file source that
+    // REALLY contains duplicates: snapshot 2 regenerates the identical
+    // conversations (same convOffset), so every key appears twice
+    graft.engine.TranscriptsTable.appendSnapshot(spark, s"$dir/t", 2, 0, 20, 32, 2)
+    // flatten both snapshots (identical content -> every key twice) into a
+    // plain dir: the streaming file source insists on partition inference
+    // over snapshot=/bucket= layouts
+    val flat = s"$dir/flat"
+    graft.engine.TranscriptsTable.readAll(spark, s"$dir/t")
+      .write.mode("overwrite").parquet(flat)
+    val dupSrc = spark.readStream
+      .schema(graft.engine.TranscriptsTable.readAll(spark, s"$dir/t").schema)
+      .parquet(flat)
+    val q2 = StreamingExtract.dedupStream(dupSrc)
       .writeStream.format("memory").queryName("dedup_probe")
       .outputMode(OutputMode.Append())
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("sp-ck").toString)
       .start()
     q2.processAllAvailable(); q2.stop()
-    println("DEDUP_ROWS=" + spark.table("dedup_probe").count())
+    val unique = graft.engine.TranscriptsTable
+      .readAll(spark, s"$dir/t").select("conv_id", "turn_idx").distinct().count()
+    println("DEDUP_ROWS=" + spark.table("dedup_probe").count() +
+      " UNIQUE_KEYS=" + unique)
     spark.stop()
   }
 }
