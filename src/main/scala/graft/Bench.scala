@@ -77,7 +77,18 @@ object Bench {
     // worker log keeps heap behavior observable. (The r1 artifact's
     // 8->32 NEGATIVE scaling was not heap: see BASELINE.md §anomaly —
     // a host noise episode, since reproduced-away at both heap sizes.)
-    val workerMem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "24g")
+    // default worker heap: 24g capped at half the host's physical RAM so
+    // workers start on smaller machines too
+    val defaultMem = {
+      val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val physGb = bean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          (b.getTotalMemorySize / (1L << 30)).toInt
+        case _ => 48
+      }
+      s"${math.max(2, math.min(24, physGb / 2))}g"
+    }
+    val workerMem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", defaultMem)
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
         a.startsWith("--add-opens") || a.startsWith("-D")) ++
@@ -129,8 +140,16 @@ object Bench {
         // JVM/codegen/parquet-footer warmup and misrank the table
         // (r1 artifact: a1_confidence_expr "cost" 7.85 s of warmup)
         for (w <- Seq("p7_md5_meta", "q1_lineitem_agg", "x_pipeline_insurance"))
-          try SparkEntry.queries(w)(s1, sfDir).foreach(_ => ())
-          catch { case _: Throwable => () }
+          SparkEntry.queries.get(w) match {
+            case Some(fn) =>
+              try fn(s1, sfDir).foreach(_ => ())
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] warmup $w failed: $e") }
+            case None =>
+              // a renamed warmup query must not silently reintroduce the
+              // warmup-pollutes-first-timed-query artifact
+              System.err.println(s"[bench] WARNING: warmup query '$w' missing")
+          }
         SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           // foreach materializes every column — count() would let the
@@ -209,10 +228,13 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":${boxPair.turns},"throughput_n":${clusterPair.thrN}%.0f,"throughput_4n":${clusterPair.thr4N}%.0f,"cores_n":${clusterPair.n},"cores_4n":${clusterPair.n4},"scaling_efficiency":${clusterPair.eff}%.3f,"scaling_pairs":[${pairJson(clusterPair)},${pairJson(boxPair)}],"salted_throughput":${totalTurns / saltedSecs}%.0f}""")
 
-    // refresh BENCH/BASELINE.md when run from the repo — but never from a
-    // reduced experiment run (skip-queries / trial-count overrides), which
-    // would silently replace the artifact of record with partial numbers
-    val fullRun = !skipQueries && trials >= 3
+    // refresh BENCH/BASELINE.md when run from the repo — but ONLY from a
+    // full, default-configured run: any reduced experiment (skip-queries,
+    // fewer trials, a smaller sf dir, a shrunken input) must not silently
+    // replace the artifact of record with incomparable numbers
+    val fullRun = !skipQueries && trials >= 3 &&
+      sfDir == "/root/testdata/sf0.1" && cpus == 32 &&
+      benchConvs == 250000 && giant == 80000
     if (fullRun) try {
       def pairRows(p: PairResult): String =
         f"""| local[${p.n}] (N) | ${p.turns} | ${p.secsN}%.2f | ${p.thrN}%.0f |

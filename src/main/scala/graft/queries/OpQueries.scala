@@ -19,6 +19,15 @@ object OpQueries {
   import Q._
   import Q.{tok, cap, dateCol, sqlTok1, sqlTok2, sqlCap, sqlDate}
 
+  /** Pattern-neutral name vocabularies for constructed payloads (no
+    * substring collides with routing terms, pattern-bank labels, or the
+    * classifier keyword lists).
+    */
+  private val Kv4Firsts = Seq("Ana", "Maria", "John", "Lin", "Omar")
+  private val Kv4Lasts = Seq("Li", "Gomez", "Roe", "Patel", "Kim", "Silva", "Novak")
+  private val sqlKv4Firsts = Kv4Firsts.map(n => s"'$n'").mkString("[", ",", "]")
+  private val sqlKv4Lasts = Kv4Lasts.map(n => s"'$n'").mkString("[", ",", "]")
+
   /** Run a pure String=>String extractor over (doc_id, payload) rows. */
   private def runStr(s: SparkSession, df: DataFrame, outCol: String)(
       f: String => String): DataFrame = {
@@ -342,15 +351,21 @@ object OpQueries {
     "kv4_routed_nested" -> Entry(
       (s, d) => {
         import s.implicits._
+        // names come from FIXED lists, not corpus tokens: routeAndClean's
+        // pattern bank scans the whole payload, so a corpus token like
+        // 'dob' or 'phone' inside a name value would hijack a pattern and
+        // silently break the constructed oracle on another corpus
+        val first = element_at(typedLit(Kv4Firsts), (pmod($"doc_id", lit(5)) + 1).cast("int"))
+        val last = element_at(typedLit(Kv4Lasts), (pmod($"doc_id", lit(7)) + 1).cast("int"))
         val nm = when(pmod($"doc_id", lit(3)) === 0,
-            concat(upper(tok($"text", 1)), lit(", "), upper(tok($"text", 2))))
-          .otherwise(concat(cap(tok($"text", 1)), lit(" "), cap(tok($"text", 2))))
+            concat(upper(last), lit(", "), upper(first)))
+          .otherwise(concat(first, lit(" "), last))
         val ph = concat(lit("("), (lit(200) + pmod($"doc_id", lit(700))).cast("string"),
           lit(") 555-"), lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
         val payload = concat(
           lit("Mother Name: "), nm,
           lit("\nDOB: "), dateCol($"doc_id"),
-          lit("\nPhysician Name: Dr "), cap(tok($"text", 2)),
+          lit("\nPhysician Name: Dr "), last,
           lit("\nPatient Phone Number: "), ph,
           lit("\nICD-10 Code: Z39.1"),
           lit("\nPlan Group: ABC"),
@@ -359,14 +374,16 @@ object OpQueries {
         runStr(s, df, "record")(Extract.routedRecordJson)
       },
       Some {
-        val nmSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($sqlTok1)||', '||upper($sqlTok2) " +
-          s"ELSE ${sqlCap(sqlTok1)}||' '||${sqlCap(sqlTok2)} END"
-        val firstSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($sqlTok2) ELSE ${sqlCap(sqlTok1)} END"
-        val lastSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($sqlTok1) ELSE ${sqlCap(sqlTok2)} END"
+        val firstSql = s"($sqlKv4Firsts)[doc_id % 5 + 1]"
+        val lastSql = s"($sqlKv4Lasts)[doc_id % 7 + 1]"
+        val nmSql = s"CASE WHEN doc_id % 3 = 0 THEN upper($lastSql)||', '||upper($firstSql) " +
+          s"ELSE $firstSql||' '||$lastSql END"
+        val outFirst = s"CASE WHEN doc_id % 3 = 0 THEN upper($firstSql) ELSE $firstSql END"
+        val outLast = s"CASE WHEN doc_id % 3 = 0 THEN upper($lastSql) ELSE $lastSql END"
         val phSql = "'('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')"
         s"""SELECT doc_id,
-           |  '{"doctor":{"Doctor Name":"Dr '||${sqlCap(sqlTok2)}||'"},'||
-           |  '"patient":{"DOB":"'||$sqlDate||'","First Name":"'||$firstSql||'","Last Name":"'||$lastSql||
+           |  '{"doctor":{"Doctor Name":"Dr '||$lastSql||'"},'||
+           |  '"patient":{"DOB":"'||$sqlDate||'","First Name":"'||$outFirst||'","Last Name":"'||$outLast||
            |  '","Mother Name":"'||$nmSql||'","Patient Phone Number":"'||$phSql||'","Phone Number":"'||$phSql||
            |  '"},"prescription":{"Prescription":"Double Electric Breast Pump"}}' AS record
            |FROM documents ORDER BY doc_id""".stripMargin

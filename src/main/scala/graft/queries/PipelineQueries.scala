@@ -76,6 +76,22 @@ object PipelineQueries {
     bandPlanes.zipWithIndex.map { case (ps, b) => s"'$b-' || ${sqlBucket(ps)}" }
       .mkString("[", ",\n      ", "]")
 
+  /** The banded LSH candidate topology shared by every near-dup query:
+    * explode the item's band keys, equi-join on the key, dedup BARE id
+    * pairs (the shuffle carries no payloads), then re-join payloads only
+    * for the verified comparisons. `items` must have columns (id, p).
+    */
+  private def bandedPairs(items: DataFrame, bands: Column): DataFrame = {
+    val banded = items.select(explode(bands).as("band"), col("id"))
+    val ids = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    ids
+      .join(items.select(col("id").as("id_a"), col("p").as("p_a")), Seq("id_a"))
+      .join(items.select(col("id").as("id_b"), col("p").as("p_b")), Seq("id_b"))
+  }
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---------------- Deduplication ----------------
@@ -105,21 +121,10 @@ object PipelineQueries {
     "dd_ngram_jaccard" -> Entry(
       (s, d) => {
         import s.implicits._
-        val t = rd(s, d, "documents")
-          .select($"doc_id", tokens($"text").as("toks"))
-        // the candidate-dedup shuffle carries bare (id_a, id_b) — token
-        // sets are re-joined only for the verified comparisons
-        val banded = t
-          .withColumn("band", explode(lshBands(minHashSig($"toks", 6), 3, 2)))
-          .select($"band", $"doc_id")
-        val ids = banded.select($"band", $"doc_id".as("id_a"))
-          .join(banded.select($"band", $"doc_id".as("id_b")), Seq("band"))
-          .filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b").distinct()
-        ids
-          .join(t.select($"doc_id".as("id_a"), $"toks".as("toks_a")), Seq("id_a"))
-          .join(t.select($"doc_id".as("id_b"), $"toks".as("toks_b")), Seq("id_b"))
-          .filter(round(jaccard($"toks_a", $"toks_b"), 6) >= 0.8)
+        val items = rd(s, d, "documents")
+          .select($"doc_id".as("id"), tokens($"text").as("p"))
+        bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
+          .filter(round(jaccard($"p_a", $"p_b"), 6) >= 0.8)
           .groupBy($"id_b")
           .agg(min($"id_a").as("dup_of"), count(lit(1)).as("n_dups"))
           .select($"id_b".as("doc_id"), $"dup_of", $"n_dups")
@@ -187,19 +192,10 @@ object PipelineQueries {
     "dd_minhash_lsh" -> Entry(
       (s, d) => {
         import s.implicits._
-        val t = rd(s, d, "documents").filter($"doc_id" < 200)
-          .select($"doc_id", shingles($"text", 5, 2000).as("toks"))
-        val banded = t
-          .withColumn("band", explode(lshBands(minHashSig($"toks", 6), 3, 2)))
-          .select($"band", $"doc_id")
-        val ids = banded.select($"band", $"doc_id".as("id_a"))
-          .join(banded.select($"band", $"doc_id".as("id_b")), Seq("band"))
-          .filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b").distinct()
-        ids
-          .join(t.select($"doc_id".as("id_a"), $"toks".as("toks_a")), Seq("id_a"))
-          .join(t.select($"doc_id".as("id_b"), $"toks".as("toks_b")), Seq("id_b"))
-          .withColumn("jac", round(jaccard($"toks_a", $"toks_b"), 6))
+        val items = rd(s, d, "documents").filter($"doc_id" < 200)
+          .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+        bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
+          .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
           .filter($"jac" >= 0.4)
           .select($"id_a", $"id_b", $"jac")
           .orderBy($"id_a", $"id_b")
@@ -264,18 +260,12 @@ object PipelineQueries {
         val e = rd(s, d, "embeddings")
         val pert = transform($"embedding", (x, i) =>
           x * (lit(1.0) + (pmod(i, lit(5)) - lit(2)).cast("double") * lit(0.004)))
-        val corpus = e.select($"vec_id", toDouble($"embedding").as("v"))
-          .unionByName(e.select(($"vec_id" + 100000).as("vec_id"), pert.as("v")))
-        val banded = corpus.withColumn("band", explode(lshBucketBands($"v", bp)))
-          .select($"band", $"vec_id")
-        val ids = banded.select($"band", $"vec_id".as("id_a"))
-          .join(banded.select($"band", $"vec_id".as("id_b")), Seq("band"))
-          .filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b").distinct()
-        ids
-          .join(corpus.select($"vec_id".as("id_a"), $"v".as("v_a")), Seq("id_a"))
-          .join(corpus.select($"vec_id".as("id_b"), $"v".as("v_b")), Seq("id_b"))
-          .withColumn("cos", round(cosine($"v_a", $"v_b"), 6))
+        // perturbed ids offset far above any plausible corpus size —
+        // vec_id + 100000 would COLLIDE with real ids on a 100k+ table
+        val corpus = e.select($"vec_id".as("id"), toDouble($"embedding").as("p"))
+          .unionByName(e.select(($"vec_id" + lit(1000000000000L)).as("id"), pert.as("p")))
+        bandedPairs(corpus, lshBucketBands(col("p"), bp))
+          .withColumn("cos", round(cosine($"p_a", $"p_b"), 6))
           .filter($"cos" >= 0.999)
           .select($"id_a", $"id_b", $"cos")
           .orderBy($"id_a", $"id_b")
@@ -286,7 +276,7 @@ object PipelineQueries {
            |corpus AS (
            |  SELECT vec_id, v FROM e
            |  UNION ALL
-           |  SELECT vec_id + 100000,
+           |  SELECT vec_id + 1000000000000,
            |    list_transform(generate_series(1, 64), j ->
            |      v[j] * (CAST(1.0 AS DOUBLE) + CAST((j - 1) % 5 - 2 AS DOUBLE) * CAST(0.004 AS DOUBLE)))
            |  FROM e),

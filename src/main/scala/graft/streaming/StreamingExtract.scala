@@ -56,7 +56,7 @@ object StreamingExtract {
         avg(col("confidence")).as("mean_confidence"))
 
   final case class ConvState(turns: Long, okTurns: Long, lastIdx: Int,
-      gap: Boolean)
+      gap: Boolean, lastActivityMs: Long)
   final case class ConvSummary(conv_id: String, turns: Long, ok_turns: Long,
       last_idx: Int, gap_detected: Boolean, closed: Boolean)
 
@@ -91,7 +91,8 @@ object StreamingExtract {
   private def sessionStep(convId: String,
       rows: Iterator[(String, Int, String, java.sql.Timestamp)],
       state: GroupState[ConvState], gapMs: Long): ConvSummary = {
-    val prev = state.getOption.getOrElse(ConvState(0, 0, -1, gap = false))
+    val prev = state.getOption.getOrElse(
+      ConvState(0, 0, -1, gap = false, lastActivityMs = Long.MinValue))
     val sorted = rows.toSeq.sortBy(_._2)
     // replay tolerance: rows at idx <= lastIdx move nothing (not lastIdx,
     // not gap, not the turn/ok counters). Deliberate trade: distinguishing
@@ -115,13 +116,17 @@ object StreamingExtract {
         if (status == "ok") ok += 1
       }
     }
-    val next = ConvState(turns, ok, last, gap)
+    // last activity persists across batches: a late-but-valid row in a
+    // later batch must never move the close time BACKWARD (timeout is
+    // last-activity + gap, not this-batch-max + gap)
+    val lastActivity = math.max(prev.lastActivityMs, maxTs)
+    val next = ConvState(turns, ok, last, gap, lastActivity)
     state.update(next)
-    // idle-timeout at max(seen event time, watermark) + gap — always
+    // idle-timeout at max(last activity, watermark) + gap — always
     // strictly ahead of the current watermark, so the call is legal and
     // the conversation closes once the watermark passes its last activity
     state.setTimeoutTimestamp(
-      math.max(maxTs, state.getCurrentWatermarkMs()) + gapMs)
+      math.max(lastActivity, state.getCurrentWatermarkMs()) + gapMs)
     ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap,
       closed = false)
   }

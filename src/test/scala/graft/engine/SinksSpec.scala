@@ -26,8 +26,15 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sinks.mirrorToJdbc(df,
         Sinks.JdbcConfig("jdbc:postgresql://localhost:5432/graft", "results"))
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.toLowerCase.contains("driver"), s"unexpected failure: $msgs")
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).toVector
+    val msgs = chain.map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // accept either failure shape: no driver on the classpath (this
+    // container) OR a connection failure if a driver ever ships — both
+    // prove the config-gated path reaches the real JDBC source
+    assert(msgs.toLowerCase.contains("driver") ||
+      msgs.toLowerCase.contains("connection") ||
+      chain.exists(_.isInstanceOf[java.sql.SQLException]),
+      s"unexpected failure: $msgs")
   }
 }
