@@ -203,6 +203,42 @@ object Extract {
   }
 
   // -------------------------------------------------------------------------
+  // Reference-parity classifier arm: the reference's EXACT keyword lists
+  // and class names (Ethan_PDFandJPG3.py:585-599 lists, :605-619 ladder —
+  // INSURANCE_CARD / SIGNED_AGREEMENT, no facesheet tier). The engine's
+  // canonical classify() above keeps its own richer lists and the added
+  // FACESHEET tier (golden-stable); this arm exists for users who need
+  // byte-level class agreement with the reference.
+  // -------------------------------------------------------------------------
+  val refPrescriptionKeywords: Vector[String] = Vector(
+    "prescription", "rx", "physician", "doctor", "diagnosis",
+    "patient name", "mother name", "mother's name", "breast pump",
+    "icd-10", "medical necessity", "dob", "date of birth")
+  val refAgreementKeywords: Vector[String] = Vector(
+    "agreement", "signature", "signed", "consent", "terms",
+    "conditions", "i agree", "customer", "acknowledge")
+  val refInsuranceKeywords: Vector[String] = Vector(
+    "insurance", "member", "policy", "group", "copay", "deductible",
+    "plan", "coverage", "id#", "id #", "insured", "subscriber")
+
+  /** check_document_content parity: (class, winning keyword count) —
+    * insurance >= 2 takes precedence; rx >= 3 must strictly beat ag;
+    * ag >= 3 wins ties; POSSIBLE_* at >= 2; UNKNOWN carries count 0.
+    */
+  def classifyReference(text: String): (String, Int) = {
+    val low = text.toLowerCase
+    val rx = keywordScore(low, refPrescriptionKeywords)
+    val ag = keywordScore(low, refAgreementKeywords)
+    val ins = keywordScore(low, refInsuranceKeywords)
+    if (ins >= 2) ("INSURANCE_CARD", ins)
+    else if (rx >= 3 && rx > ag) ("PRESCRIPTION", rx)
+    else if (ag >= 3 && ag >= rx) ("SIGNED_AGREEMENT", ag)
+    else if (rx >= 2) ("POSSIBLE_PRESCRIPTION", rx)
+    else if (ag >= 2) ("POSSIBLE_AGREEMENT", ag)
+    else ("UNKNOWN", 0)
+  }
+
+  // -------------------------------------------------------------------------
   // KV anchor extractor (KV1-KV3 semantics over text): `Key: Value` lines.
   // Key normalized (P1): trim, drop leading "the ", drop trailing "?".
   // First occurrence of a key wins (reference dict insert order).
@@ -457,6 +493,22 @@ object Extract {
     }
     out.toMap
   }
+
+  /** B1 batching for banks past the per-call cap: the reference's API
+    * rejects >15 queries per request, so banks are split into batches of
+    * `batchSize` (queryCodes/AttemptedMergeQueryCodes:49-52) and each
+    * batch's answers land in the shared document_data dict. Merge order:
+    * later batches overwrite earlier ones per derived key — Python dict
+    * assignment (finalcodes/Facesheet.py:168,175); the reference's
+    * triple-dedup variant (AttemptedMergeQueryCodes:95-100) differs only
+    * when two identical query TEXTS answer differently, which cannot
+    * happen against one document.
+    */
+  def queryBankBatched(queries: Seq[String], text: String,
+      batchSize: Int = 15): Map[String, String] =
+    queries.grouped(batchSize)
+      .map(batch => queryBank(batch, text))
+      .foldLeft(Map.empty[String, String])(_ ++ _)
 
   // -------------------------------------------------------------------------
   // R8 field bank with "<Field> not found" defaults — the Lauren-style

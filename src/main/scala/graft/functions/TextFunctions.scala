@@ -53,12 +53,15 @@ object TextFunctions {
 
   /** MinHash signature of a token array: for each of `k` salted hash
     * functions, the minimum hash over the tokens. Returns array<long>.
+    * Backed by the native codegen'd expression (graft.plans.MinHashSigExpr)
+    * — identical integer math to the HOF form, compiled-loop speed (the
+    * per-char `aggregate` HOF has no codegen and ran interpreted at
+    * ~40 ms/doc in round 2).
     */
   def minHashSig(toks: Column, k: Int): Column = {
-    val hashes = (0 until k).map { s =>
-      array_min(transform(toks, t => polyHashStr(t, 0x9e3779b9L * (s + 1))))
-    }
-    array(hashes: _*)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.MinHashSigExpr(GraftColumnBridge.expression(toks), k))
   }
 
   /** LSH band key: the signature banded into groups of `rows` values,
@@ -74,16 +77,13 @@ object TextFunctions {
   }
 
   /** SimHash over tokens: 32-bit majority-vote fingerprint built from the
-    * per-token polynomial hashes (bit b weighted +1/-1).
+    * per-token polynomial hashes (bit b weighted +1/-1). Backed by the
+    * native codegen'd expression (graft.plans.SimHashExpr) — same math.
     */
-  def simHash(toks: Column, bits: Int = 32): Column = {
-    val th = transform(toks, t => polyHashStr(t, 0x85ebca6bL))
-    val bitCols = (0 until bits).map { b =>
-      val vote = aggregate(th, lit(0L),
-        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+  def simHash(toks: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.SimHashExpr(GraftColumnBridge.expression(toks)))
   }
 
   /** Jaccard similarity of two (distinct-element) arrays. */
@@ -219,10 +219,13 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "des", "avec", "pour"))
 
   def langId(c: Column): Column = {
-    val low = lower(c)
-    val toks = filter(split(low, "[^a-z]+"), w => length(w) > 0)
+    // score = DISTINCT lexicon words present (array_intersect dedups and
+    // is a native codegen'd set op; the r2 per-token chained-OR lambda ran
+    // interpreted per element — 1.4 s at sf0.1 for 5-word lexicons).
+    // Empty split artifacts ("") are never lexicon members, so no filter.
+    val toks = split(lower(c), "[^a-z]+")
     val scores = LangLexicons.map { case (lang, lex) =>
-      lang -> size(filter(toks, t => lex.map(s => t === s).reduce((x, y) => x || y)))
+      lang -> size(array_intersect(toks, typedLit(lex)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static bridge for the MinHash/SimHash hash loops — compiled JVM loops
+  * instead of per-character `aggregate` higher-order functions (Spark has
+  * no codegen for array lambdas, so the HOF form runs interpreted: measured
+  * ~40 ms/doc of pure hash overhead in round 2; this bridge is the same
+  * integer math at native-loop speed, so every oracle is unchanged).
+  */
+object TextHashBridge {
+  val M: Long = 1000000007L
+
+  /** polyHashStr: acc = (acc * 131 + charCode) mod M, acc0 = seed mod M —
+    * identical to the `aggregate`-HOF form in TextFunctions.polyHashStr
+    * (ascii() = the character's code point; the corpus is ASCII).
+    */
+  def polyHash(s: UTF8String, seed: Long): Long = {
+    val str = s.toString
+    var acc = seed % M
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 131 + str.charAt(i).toLong) % M
+      i += 1
+    }
+    acc
+  }
+
+  /** k-seed MinHash signature over a token array: for each seed
+    * 0x9e3779b9 * (s+1), the minimum polyHash over the tokens. Empty input
+    * yields all-null (matching array_min over an empty array).
+    */
+  def minHashSig(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) {
+      val seed = 0x9e3779b9L * (s + 1)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = polyHash(toks.getUTF8String(i), seed)
+        if (h < mn) mn = h
+        i += 1
+      }
+      out(s) = mn
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash: per-bit majority vote over the token hashes
+    * (seed 0x85ebca6b), bit set iff the vote is strictly positive —
+    * identical math to the HOF form (empty input -> 0).
+    */
+  def simHash(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = polyHash(toks.getUTF8String(i), 0x85ebca6bL)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
+/** `minhash_sig(tokens)` — the k-seed MinHash signature as a native
+  * expression with codegen (one-line invoke of the static bridge, so the
+  * surrounding projection stays inside whole-stage codegen).
+  */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.minHashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.minHashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** `simhash(tokens)` — the 32-bit majority-vote fingerprint, codegen'd. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.simHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.simHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}

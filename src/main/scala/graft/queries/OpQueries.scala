@@ -28,6 +28,71 @@ object OpQueries {
   private val sqlKv4Firsts = Kv4Firsts.map(n => s"'$n'").mkString("[", ",", "]")
   private val sqlKv4Lasts = Kv4Lasts.map(n => s"'$n'").mkString("[", ",", "]")
 
+  /** Reference-parity classifier cases: each payload is a fixed literal
+    * hitting a specific tier of the reference ladder; together the 8 cases
+    * cover EVERY reference keyword (13 rx + 9 ag + 12 ins) and every tier,
+    * including the insurance-precedence and the rx==ag tiebreak.
+    * (payload, expected class, expected winning count) — expectations
+    * verified by hand against substring counting on the lowered payload.
+    */
+  private val RefClassifyCases: Seq[(String, String, Int)] = Seq(
+    // all 12 insurance keywords
+    ("your insurance member policy group copay deductible plan coverage id# id # insured subscriber info",
+      "INSURANCE_CARD", 12),
+    // all 13 prescription keywords
+    ("prescription rx physician doctor diagnosis patient name mother name mother's name breast pump icd-10 medical necessity dob date of birth",
+      "PRESCRIPTION", 13),
+    // all 9 agreement keywords
+    ("agreement signature signed consent terms conditions i agree customer acknowledge",
+      "SIGNED_AGREEMENT", 9),
+    // rx=3, ag=3: rx needs STRICTLY MORE, so agreement wins the tie
+    ("prescription physician diagnosis agreement signature consent",
+      "SIGNED_AGREEMENT", 3),
+    ("breast pump dob noted", "POSSIBLE_PRESCRIPTION", 2),
+    ("customer consent form", "POSSIBLE_AGREEMENT", 2),
+    // insurance >= 2 takes precedence even over rx = 4
+    ("member policy prescription rx physician doctor", "INSURANCE_CARD", 2),
+    ("hello ordinary text nothing here", "UNKNOWN", 0))
+
+  /** The reference's two 15-query facesheet banks verbatim
+    * (finalcodes/Facesheet.py:104-120 and :126-142, including the
+    * misspelled "Garuntor"/"Refering"/"verifiaction" aliases), plus a
+    * 31st query whose derived key duplicates "MRN" — exercising the
+    * >15-per-call batching split AND the duplicate-derived-key overwrite.
+    */
+  private val Facesheet15Queries: Seq[String] = Seq(
+    "What is the Patient Name?",
+    "What is the Patient Date of Birth?",
+    "What is the Patient Address?",
+    "What is the Patient sex?",
+    "What is the Patient Ethnicity?",
+    "What is the Patient citizenship?",
+    "What is the Patient Race?",
+    "What is the Patient Phone Number?",
+    "What is the Admitting Provider Name?",
+    "What is the Attending Provider Telephone Number?",
+    "What is the Attending Provider Name?",
+    "What is the Refering physician?",
+    "What is the admitting diagnosis?",
+    "What is the Encounter Date?",
+    "What is the MRN?",
+    "What is the Hospital Account number?",
+    "What is the Contact Serial number?",
+    "What is the Patient insurance provider?",
+    "What is the insurance Subscriber name?",
+    "What is the Patient insurance group number?",
+    "What is the Patient insurance Subscriber Id?",
+    "What is the Patient insurance type?",
+    "What is the Patient insurance plan?",
+    "What is the Patient relationship to insurance Subscriber?",
+    "What is the insurance verifiaction status?",
+    "What is the Garuntor Name?",
+    "What is the Garuntor relation to patient?",
+    "What is the Garuntor Id?",
+    "What is the Garuntor Address?",
+    "What is the Garuntor Phone number?",
+    "Tell me the MRN?")
+
   /** Run a pure String=>String extractor over (doc_id, payload) rows. */
   private def runStr(s: SparkSession, df: DataFrame, outCol: String)(
       f: String => String): DataFrame = {
@@ -386,6 +451,103 @@ object OpQueries {
            |  '"patient":{"DOB":"'||$sqlDate||'","First Name":"'||$outFirst||'","Last Name":"'||$outLast||
            |  '","Mother Name":"'||$nmSql||'","Patient Phone Number":"'||$phSql||'","Phone Number":"'||$phSql||
            |  '"},"prescription":{"Prescription":"Double Electric Breast Pump"}}' AS record
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // C2 reference-parity arm: the reference's exact keyword lists, class
+    // names (INSURANCE_CARD / SIGNED_AGREEMENT) and winning-count output
+    // (Ethan_PDFandJPG3.py:585-619), over constructed payloads covering
+    // every keyword and every tier of the ladder (see RefClassifyCases).
+    "c2_reference_parity" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = element_at(typedLit(RefClassifyCases.map(_._1)),
+          pmod($"doc_id", lit(8)).cast("int") + 1)
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val (cls, n) = Extract.classifyReference(p)
+            (id, cls, n)
+          })
+          .toDF("doc_id", "doc_type", "kw_count")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val arms = RefClassifyCases.zipWithIndex.map { case ((_, cls, n), i) =>
+          s"WHEN $i THEN '$cls'" -> s"WHEN $i THEN $n"
+        }
+        s"""SELECT doc_id,
+           |  CASE doc_id % 8 ${arms.map(_._1).mkString(" ")} END AS doc_type,
+           |  CASE doc_id % 8 ${arms.map(_._2).mkString(" ")} END AS kw_count
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // KV0 at reference breadth: the full 30-query facesheet bank (both
+    // 15-query calls) + a duplicate-derived-key query, answered through
+    // the batched path (batches of 15 — the reference API cap). Gates:
+    // 31 queries -> 30 keys (duplicate "MRN" overwrites with the same
+    // anchor answer), batching drops nothing past query 15, unanswered
+    // keys stay as "" and drive A1 confidence (10 answered / 30).
+    "q_bank_facesheet15" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val first = element_at(typedLit(Kv4Firsts), (pmod($"doc_id", lit(5)) + 1).cast("int"))
+        val last = element_at(typedLit(Kv4Lasts), (pmod($"doc_id", lit(7)) + 1).cast("int"))
+        val gFirst = element_at(typedLit(Kv4Firsts), (pmod($"doc_id" + 1, lit(5)) + 1).cast("int"))
+        val gLast = element_at(typedLit(Kv4Lasts), (pmod($"doc_id" + 3, lit(7)) + 1).cast("int"))
+        val payload = concat(
+          lit("FACESHEET\nPatient Name: "), upper(last), lit(", "), upper(first),
+          lit("\nPatient Date of Birth: "), dateCol($"doc_id"),
+          lit("\nPatient Phone Number: ("),
+          (lit(200) + pmod($"doc_id", lit(700))).cast("string"), lit(") 555-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+          lit("\nMRN: "), (lit(1000000) + $"doc_id").cast("string"),
+          lit("\nEncounter Date: 07/13/2024"),
+          lit("\nPatient Address: "),
+          (lit(100) + pmod($"doc_id", lit(900))).cast("string"), lit(" Oak St"),
+          lit("\nPatient insurance provider: Prov"), pmod($"doc_id", lit(5)).cast("string"),
+          lit("\nHospital Account number: H"),
+          (lit(50000) + pmod($"doc_id", lit(40000))).cast("string"),
+          lit("\nGaruntor Name: "), gFirst, lit(" "), gLast,
+          lit("\nGaruntor Phone number: (300) 555-0100"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val dd = Extract.queryBankBatched(Facesheet15Queries, p)
+            (id, dd.size, Extract.fieldsToJson(dd),
+              String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6))
+          })
+          .toDF("doc_id", "n_keys", "document_data", "confidence")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val firstSql = s"($sqlKv4Firsts)[doc_id % 5 + 1]"
+        val lastSql = s"($sqlKv4Lasts)[doc_id % 7 + 1]"
+        val gFirstSql = s"($sqlKv4Firsts)[(doc_id + 1) % 5 + 1]"
+        val gLastSql = s"($sqlKv4Lasts)[(doc_id + 3) % 7 + 1]"
+        val answered = Map(
+          "Patient Name" -> s"upper($lastSql)||', '||upper($firstSql)",
+          "Patient Date of Birth" -> sqlDate,
+          "Patient Phone Number" ->
+            "'('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')",
+          "MRN" -> "CAST(1000000 + doc_id AS VARCHAR)",
+          "Encounter Date" -> "'07/13/2024'",
+          "Patient Address" -> "CAST(100 + doc_id % 900 AS VARCHAR)||' Oak St'",
+          "Patient insurance provider" -> "'Prov'||CAST(doc_id % 5 AS VARCHAR)",
+          "Hospital Account number" -> "'H'||CAST(50000 + doc_id % 40000 AS VARCHAR)",
+          "Garuntor Name" -> s"$gFirstSql||' '||$gLastSql",
+          "Garuntor Phone number" -> "'(300) 555-0100'")
+        // keys sorted by char code — exactly fieldsToJson's sortBy(_._1)
+        val keys = Facesheet15Queries.map(Extract.queryKey).distinct.sorted
+        val jsonSql = keys.map { k =>
+          answered.get(k) match {
+            case Some(v) => s"'\"$k\":\"'||$v||'\"'"
+            case None    => s"""'"$k":""'"""
+          }
+        }.mkString("'{'||", "||','||", "||'}'")
+        s"""SELECT doc_id, ${keys.size} AS n_keys,
+           |  $jsonSql AS document_data,
+           |  '0.333333' AS confidence
            |FROM documents ORDER BY doc_id""".stripMargin
       })
   )

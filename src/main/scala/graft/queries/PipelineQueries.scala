@@ -108,52 +108,76 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
 
-    // n-gram (token-set) Jaccard near-dup dedup over the WHOLE corpus —
-    // candidates come from the banded MinHash join (3 bands x 2 rows:
-    // recall 1-(1-s^2)^3 = 95% at s=0.8, while unrelated pairs at s~0.05
-    // collide with p<1%), then exact Jaccard >= 0.8 on candidates only,
-    // aggregated to the per-doc DROP decision (doc -> its minimum
-    // near-dup representative): the corpus is template-heavy, so the raw
-    // pair list is quadratic in clique size while the decision list is
-    // O(n) — the output shape a 100 TB dedup actually materializes.
-    // No all-pairs product anywhere; the oracle reproduces the identical
-    // banding (integer hashes), so parity is exact by construction.
+    // n-gram (token-set) Jaccard near-dup dedup over the WHOLE corpus,
+    // CLIQUE-LINEAR by construction (the r2 within-band self-join emitted
+    // every id_a < id_b pair — O(k^2) per template clique, 159 s at sf0.1
+    // on this 21%-near-dup corpus; at 100x docs that is ~10,000x verify
+    // work). The per-doc output only needs each doc's minimum near-dup
+    // representative, so:
+    //   (1) exact-dedup pre-pass: md5(text) groups collapse to their min
+    //       id — identical templates never reach LSH (jaccard 1 >= 0.8 by
+    //       definition, kind='exact');
+    //   (2) banded MinHash over the representatives only (3 bands x 2
+    //       rows: recall 1-(1-s^2)^3 = 95% at s=0.8, unrelated pairs at
+    //       s~0.05 collide with p<1%);
+    //   (3) each rep is compared ONLY to its band bucket's MIN rep id
+    //       (one candidate per rep per band — O(n) verifies, no
+    //       within-band self-join), exact Jaccard >= 0.8 verifies, and
+    //       dup_of = the min verified bucket representative (kind='near').
+    // The oracle reproduces the identical pre-pass, banding, bucket-min
+    // topology and verification — parity exact by construction.
     "dd_ngram_jaccard" -> Entry(
       (s, d) => {
         import s.implicits._
-        val items = rd(s, d, "documents")
-          .select($"doc_id".as("id"), tokens($"text").as("p"))
-        bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
-          .filter(round(jaccard($"p_a", $"p_b"), 6) >= 0.8)
-          .groupBy($"id_b")
-          .agg(min($"id_a").as("dup_of"), count(lit(1)).as("n_dups"))
-          .select($"id_b".as("doc_id"), $"dup_of", $"n_dups")
-          .orderBy($"doc_id")
+        import org.apache.spark.sql.expressions.Window
+        val docs = rd(s, d, "documents")
+          .select($"doc_id".as("id"), md5($"text").as("h"), tokens($"text").as("p"))
+        val withRep = docs.withColumn("rep", min($"id").over(Window.partitionBy($"h")))
+        val exactDups = withRep.filter($"id" =!= $"rep")
+          .select($"id".as("doc_id"), $"rep".as("dup_of"), lit("exact").as("kind"))
+        val reps = withRep.filter($"id" === $"rep").select($"id", $"p")
+        // min(struct(id, p)) over the band window carries the bucket-min's
+        // PAYLOAD alongside its id (struct ordering = id first, unique) —
+        // verification happens in-row, no payload re-join, no distinct;
+        // a (id, min_id) candidate duplicated across bands just verifies
+        // the same comparison again (min over bands unchanged)
+        val wb = Window.partitionBy($"band")
+        val near = reps
+          .select($"id", $"p", explode(lshBands(minHashSig($"p", 6), 3, 2)).as("band"))
+          .withColumn("mn", min(struct($"id", $"p")).over(wb))
+          .filter($"id" =!= $"mn.id" &&
+            round(jaccard($"p", $"mn.p"), 6) >= 0.8)
+          .groupBy($"id").agg(min($"mn.id").as("dup_of"))
+          .select($"id".as("doc_id"), $"dup_of", lit("near").as("kind"))
+        exactDups.unionByName(near).orderBy($"doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-              |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
-              |bands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
-              |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-              |pairs AS (SELECT id_a, id_b, ta.toks AS toks_a, tb.toks AS toks_b
-              |          FROM ids JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
-              |SELECT id_b AS doc_id, min(id_a) AS dup_of, count(*) AS n_dups
-              |FROM pairs
-              |WHERE round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
-              |            CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) >= 0.8
-              |GROUP BY id_b ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH t AS (SELECT doc_id AS id, md5(text) AS h, $sqlToks AS toks FROM documents),
+              |r AS (SELECT id, h, toks, min(id) OVER (PARTITION BY h) AS rep FROM t),
+              |exact AS (SELECT id AS doc_id, rep AS dup_of, 'exact' AS kind FROM r WHERE id <> rep),
+              |reps AS (SELECT id, toks FROM r WHERE id = rep),
+              |sigs AS (SELECT id, ${sqlSig()} AS sig FROM reps),
+              |bands AS (SELECT id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |wm AS (SELECT id, min(id) OVER (PARTITION BY band) AS min_id FROM bands),
+              |cand AS (SELECT DISTINCT id, min_id FROM wm WHERE id <> min_id),
+              |near AS (SELECT c.id AS doc_id, min(c.min_id) AS dup_of, 'near' AS kind
+              |         FROM cand c JOIN reps a ON a.id = c.id JOIN reps b ON b.id = c.min_id
+              |         WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+              |                     CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8
+              |         GROUP BY c.id)
+              |SELECT doc_id, dup_of, kind FROM (
+              |  SELECT * FROM exact UNION ALL SELECT * FROM near)
+              |ORDER BY doc_id""".stripMargin)),
 
     // MinHash signatures (k=6) — portable polynomial hash family, so the
-    // signature itself is oracle-gated bit-for-bit
+    // signature itself is oracle-gated bit-for-bit (computed by the native
+    // codegen'd MinHashSigExpr — one evaluation, compiled loops)
     "dd_minhash_sig" -> Entry(
       (s, d) => {
         import s.implicits._
-        val toks = tokens($"text")
-        val cols = (0 until 6).map { k =>
-          array_min(transform(toks, t => polyHashStr(t, minHashSeed(k)))).as(s"mh$k")
-        }
         rd(s, d, "documents").filter($"doc_id" < 100)
-          .select(($"doc_id" +: cols): _*)
+          .select($"doc_id", minHashSig(tokens($"text"), 6).as("sig"))
+          .select(($"doc_id" +:
+            (0 until 6).map(k => element_at($"sig", k + 1).as(s"mh$k"))): _*)
           .orderBy($"doc_id")
       },
       Some {
@@ -436,15 +460,18 @@ object PipelineQueries {
         val lex = LangLexicons.map { case (lang, ws) =>
           lang -> ws.map(w => s"'$w'").mkString(", ")
         }
+        // distinct-hit scoring mirrors Spark's array_intersect (dedups);
+        // list_filter over list_distinct pins the dedup on the DuckDB side
+        // regardless of list_intersect's own duplicate semantics
         val scores = lex.map { case (lang, in) =>
-          s"len(list_filter(toks, t -> t IN ($in))) AS s_$lang"
+          s"len(list_filter(list_distinct(toks), t -> t IN ($in))) AS s_$lang"
         }.mkString(",\n  ")
         val best = lex.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
         val ladder = lex.map { case (l, _) =>
           s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
         }.mkString("\n  ")
         s"""WITH t AS (SELECT doc_id,
-           |  list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> length(t) > 0) AS toks
+           |  string_split_regex(lower(text), '[^a-z]+') AS toks
            |  FROM documents)
            |SELECT doc_id, CASE $ladder ELSE 'und' END AS lang_guess
            |FROM (SELECT doc_id, $scores FROM t) ORDER BY doc_id""".stripMargin

@@ -250,9 +250,14 @@ object XQueries {
              |  'ok' AS status
              |FROM documents ORDER BY conv_id, turn_idx""".stripMargin)),
 
-    // full generated-transcripts pipeline: classify/extract distribution
-    // (generator not expressible in SQL → rows-only gate; exact per-turn
-    // equality is covered by EngineSpec golden tests)
+    // full generated-transcripts pipeline: classify/extract distribution.
+    // The SplitMix64 generator is not SQL-expressible, but the aggregate
+    // over the FIXED input (60 convs, giant scale 128) is a deterministic
+    // constant — recomputed single-threaded from the pure generator +
+    // extractor (tools.PrintE2EOracle, pinned by E2EOracleSpec; every raw
+    // sum sits >=0.5e-4 from a rounding boundary, so the distributed
+    // sum's reassociation error cannot flip round(.,4)) and inlined as a
+    // VALUES oracle. Per-turn equality is covered by EngineSpec goldens.
     "x_e2e_extract" -> Entry(
       (s, d) => {
         import s.implicits._
@@ -268,6 +273,13 @@ object XQueries {
             round(sum($"confidence"), 4).as("sum_conf"))
           .orderBy($"doc_type", $"status")
       },
-      None)
+      Some("""SELECT * FROM (VALUES
+             |  ('AGREEMENT', 'ok', CAST(90 AS BIGINT), CAST(81.29 AS DOUBLE)),
+             |  ('FACESHEET', 'ok', CAST(88 AS BIGINT), CAST(85.7692 AS DOUBLE)),
+             |  ('INSURANCE', 'ok', CAST(87 AS BIGINT), CAST(87.0 AS DOUBLE)),
+             |  ('PRESCRIPTION', 'ok', CAST(89 AS BIGINT), CAST(89.0 AS DOUBLE)),
+             |  ('UNKNOWN', 'ok', CAST(173 AS BIGINT), CAST(0.0 AS DOUBLE))
+             |) AS t(doc_type, status, n, sum_conf)
+             |ORDER BY doc_type, status""".stripMargin))
   )
 }

@@ -64,13 +64,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("banded LSH near-dup joins are equi-joins on the band key, never cartesian") {
-    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_embedding_lsh")) {
+    // (dd_ngram_jaccard is join-free entirely — asserted separately below)
+    for (q <- Seq("dd_minhash_lsh", "dd_embedding_lsh")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$q degenerated to an all-pairs product:\n" + p.take(1500))
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin"), s"$q has no hash/merge equi-join:\n" + p.take(1500))
     }
+  }
+
+  test("dd_ngram_jaccard is clique-linear: no join carries the band key") {
+    // the r2 within-band self-join emitted O(k^2) pairs per template
+    // clique (159 s at sf0.1). The rewrite compares each doc only to its
+    // band bucket's MIN (id, payload) via a window — the plan must contain
+    // NO join at all (verification is in-row against the windowed min
+    // struct), and in particular no join on the band key.
+    val df = graft.SparkEntry.queries("dd_ngram_jaccard")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty,
+      "dd_ngram_jaccard should be join-free (window bucket-min):\n" +
+        joins.mkString("\n"))
   }
 
   test("windowed event queries shuffle once on user_id; windows and agg reuse it") {

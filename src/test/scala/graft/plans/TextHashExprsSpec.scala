@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.TextFunctions._
+
+/** The native MinHash/SimHash expressions must be bit-identical to the
+  * HOF (`aggregate`) formulation they replaced — every LSH oracle depends
+  * on that integer math — and must stay inside whole-stage codegen.
+  */
+class TextHashExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("texthash-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The r2 HOF formulation, kept here as the parity reference. */
+  private def minHashSigHof(toks: org.apache.spark.sql.Column, k: Int) =
+    array((0 until k).map { s =>
+      array_min(transform(toks, t => polyHashStr(t, 0x9e3779b9L * (s + 1))))
+    }: _*)
+
+  private def simHashHof(toks: org.apache.spark.sql.Column) = {
+    val th = transform(toks, t => polyHashStr(t, 0x85ebca6bL))
+    (0 until 32).map { b =>
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  test("native minhash_sig and simhash match the HOF math on real corpus text") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val cmp = docs
+      .select($"doc_id", tokens($"text").as("toks"),
+        shingles($"text", 5, 2000).as("sh"))
+      .select(
+        minHashSig($"toks", 6).as("nat_t"), minHashSigHof($"toks", 6).as("hof_t"),
+        minHashSig($"sh", 6).as("nat_s"), minHashSigHof($"sh", 6).as("hof_s"),
+        simHash($"toks").as("nat_sim"), simHashHof($"toks").as("hof_sim"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "token sig mismatch")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "shingle sig mismatch")
+      assert(r.getLong(4) == r.getLong(5), "simhash mismatch")
+    }
+  }
+
+  test("empty and null inputs behave like the HOF form") {
+    import spark.implicits._
+    val df = Seq(Some(Seq.empty[String]), None, Some(Seq("abc")))
+      .toDF("toks")
+    val rows = df.select(minHashSig($"toks", 3).as("sig"), simHash($"toks").as("sh"))
+      .collect()
+    // empty array -> all-null signature (array_min of empty), simhash 0
+    assert(rows(0).getSeq[Any](0) == Seq(null, null, null))
+    assert(rows(0).getLong(1) == 0L)
+    // null array -> null outputs
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getSeq[Any](0).forall(_ != null))
+  }
+
+  test("minhash_sig projection stays inside whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(minHashSig(tokens($"text"), 6).as("sig"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      "minhash_sig fell out of whole-stage codegen:\n" + p.take(800))
+  }
+}
