@@ -3,30 +3,78 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.engine.{ExtractJob, TranscriptsTable}
 
-/** One pinned benchmark trial in its own JVM (launched by [[Bench]] under
-  * `taskset`): read the transcripts table, run the salted extract job
-  * end-to-end (results + lineage), print `BENCH_SECONDS=<s>`.
+/** One benchmark trial in its own JVM (launched by [[Bench]]): read the
+  * transcripts table, run the extract job end-to-end (results + lineage),
+  * print `BENCH_SECONDS=<s>`.
   *
-  * A separate pinned process is the honest stand-in for an N-core
-  * executor: with everything in one JVM, a `local[8]` stage would still
-  * borrow the other 24 cores for GC/IO threads and overstate small-N
+  * A separate process per trial is the honest stand-in for a deployment
+  * unit: with everything in one JVM, a small stage would still borrow the
+  * rest of the host for GC/IO threads and overstate small-configuration
   * throughput (understating scaling efficiency).
+  *
+  * Modes (4th arg):
+  *  - "unsalted" / "salted": local[cores] single JVM, presorted or
+  *    salted-shuffle extract path.
+  *  - "cluster:N:C:MEM": Spark standalone `local-cluster[N,C,MEM]` — N
+  *    REAL executor JVMs of C cores each, launched by a real Worker; the
+  *    driver schedules the identical job across them. This is the
+  *    two-cluster-size arm of the north rule's scaling criterion.
+  *  - "quarter:Q:OF": the same pipeline over this worker's 1/OF bucket
+  *    share of the table (buckets with id % OF == Q). The sequential-
+  *    emulation arm of the scaling gate: on a real cluster the N=1-node
+  *    and 4N=4-node configurations run every node under IDENTICAL
+  *    per-node conditions (each node brings its own cores/LLC/DRAM/OS),
+  *    which no concurrent single-box experiment can reproduce — so the
+  *    4N configuration is emulated by running each node's share
+  *    sequentially on the same idle 8-core slice and taking the MAX
+  *    share time as the 4N wall clock. Each share pays the full per-job
+  *    fixed tail (setup + commit + lineage) that the real single 4N job
+  *    pays only once, biasing the measured efficiency DOWN (conservative).
+  *
   */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
     val Array(tableDir, outDir, cores) = args.take(3)
-    val salted = args.length < 4 || args(3) == "salted"
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-worker-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+    val mode = if (args.length < 4) "salted" else args(3)
+    val salted = mode == "salted"
+    val cluster = mode.startsWith("cluster:")
+    val quarter = if (mode.startsWith("quarter:")) {
+      val Array(_, q, of) = mode.split(':')
+      Some((q.toInt, of.toInt))
+    } else None
+    val (master, totalCores) =
+      if (cluster) {
+        val Array(_, n, c, mem) = mode.split(':')
+        (s"local-cluster[$n,$c,$mem]", n.toInt * c.toInt)
+      } else (s"local[$cores]", cores.toInt)
+    val builder = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-bench-worker-$mode-$cores")
+      // salted mode shuffles the whole input into sorted partitions; at
+      // one-partition-per-core the per-task sort runs ~200 MB and spills
+      // (measured 254 s vs 35 s at 16x the partitions on the 14.6M-turn
+      // bench table). Size so each sorted run stays ~10-20 MB; at
+      // production scale size by bytes (~128 MB) or let AQE coalesce.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          (if (salted) 16 * totalCores else totalCores).toString).toInt)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.sql.files.openCostInBytes", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (cluster) {
+      val Array(_, _, _, mem) = mode.split(':')
+      // real executor JVMs need this application's classes on their own
+      // classpath (Spark jars come via SPARK_HOME)
+      val own = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+      builder
+        .config("spark.executor.memory", s"${mem}m")
+        .config("spark.executor.extraClassPath", own)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // JIT warm-up on a slice of the table, untimed
     val warm = TranscriptsTable.readManifest(tableDir).take(1)
@@ -36,15 +84,36 @@ object BenchWorker {
         presorted = !salted)
         .write.mode("overwrite").parquet(s"$outDir-warm")
     }
-    val turns = TranscriptsTable.readAll(spark, tableDir)
+    val turns = quarter match {
+      case None => TranscriptsTable.readAll(spark, tableDir)
+      case Some((q, of)) =>
+        // this node's bucket share, read from the bucket directories
+        // directly — a real scheduler assigns whole splits to executors,
+        // so a share never re-scans the other shares' bytes
+        val snap = TranscriptsTable.readManifest(tableDir).last
+        val dirs = new java.io.File(snap.path).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(f => (f.getName.stripPrefix("bucket=").toInt, f.getAbsolutePath))
+          .filter(_._1 % of == q)
+          .map(_._2)
+          .sorted
+        spark.read.parquet(dirs.toIndexedSeq: _*)
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    }
     val t0 = System.nanoTime()
     val results = ExtractJob.extract(spark, turns, salted, 16,
       presorted = !salted)
     results.write.mode("overwrite").parquet(outDir)
+    val tExtract = System.nanoTime()
     val written = spark.read.parquet(outDir)
     ExtractJob.lineage(spark, written, "bench", 1)
       .write.mode("overwrite").parquet(s"$outDir-lineage")
     val secs = (System.nanoTime() - t0) / 1e9
+    // phase split on stderr: the parallel extract job vs the lineage
+    // rollup (a small fixed-cost follow-up job)
+    System.err.println(
+      f"BENCH_PHASES extract=${(tExtract - t0) / 1e9}%.3f " +
+        f"lineage=${(System.nanoTime() - tExtract) / 1e9}%.3f")
     println(f"BENCH_SECONDS=$secs%.3f")
     spark.stop()
   }

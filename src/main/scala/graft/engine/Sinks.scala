@@ -13,6 +13,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** JDBC mirror config. DELIVERY CONTRACT: the mirror is append-only
+    * AT-LEAST-ONCE — a crash-resume re-appends the whole snapshot, and a
+    * partially failed executor write can leave partial duplicates within
+    * one attempt. Every consumer MUST dedupe on
+    * (snapshot_id, conv_id, turn_idx) — e.g. load via a staging table +
+    * `MERGE`/`INSERT ... ON CONFLICT DO NOTHING` on that key, or read
+    * through a view with `row_number() over (partition by snapshot_id,
+    * conv_id, turn_idx) = 1`. Exactly-once lives in the parquet system of
+    * record (snapshot overwrite + commit marker), not here.
+    */
   final case class JdbcConfig(url: String, table: String,
       options: Map[String, String] = Map.empty)
 

@@ -64,7 +64,17 @@ object TranscriptsTable {
       convOffset: Int,
       nConvs: Int,
       giantScale: Int = 256,
-      buckets: Int = 8): SnapshotRef = {
+      buckets: Int = 8,
+      /** Parquet row-group size for the bucket files. At production scale
+        * a bucket file is GBs = dozens of default 128 MB row groups, and
+        * scans split WITHIN a bucket at row-group boundaries — which is
+        * what lets a scheduler absorb a giant conversation's bucket
+        * across task waves. A small sandbox table writes ONE row group
+        * per bucket by default, making each bucket artificially
+        * indivisible; benchmarks pass a small value here so the scan
+        * granularity (splits per core) matches the production shape.
+        */
+      rowGroupBytes: Option[Long] = None): SnapshotRef = {
     import spark.implicits._
     val path = s"$baseDir/snapshot=$snapshotId"
     val parallelism = math.max(spark.sparkContext.defaultParallelism, buckets)
@@ -76,13 +86,15 @@ object TranscriptsTable {
         (0 until TranscriptGen.convSize(ci, giantScale)).iterator
           .map(t => TranscriptGen.turn(ci, t))
       })
-    turns
+    val writer = turns
       .withColumn("bucket", pmod(hash($"conv_id"), lit(buckets)))
       .repartition(buckets, $"bucket")
       .sortWithinPartitions($"conv_id", $"turn_idx")
       .write
       .mode("overwrite")
       .partitionBy("bucket")
+    rowGroupBytes
+      .fold(writer)(b => writer.option("parquet.block.size", b.toString))
       .parquet(path)
     val ref = SnapshotRef(snapshotId, path, nConvs, convOffset)
     val existing = readManifest(baseDir).filterNot(_.id == snapshotId)

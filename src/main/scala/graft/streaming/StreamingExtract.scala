@@ -39,6 +39,13 @@ object StreamingExtract {
     * their natural key within the watermark horizon — state is bounded by
     * the watermark (old keys are evicted), which is the only shape exact
     * streaming dedup can take on an unbounded stream.
+    *
+    * Composition note: this stage ADMITS a late-but-within-watermark
+    * DISTINCT turn as unique, while [[sessionize]] deliberately does not
+    * count rows at idx <= lastIdx (replay tolerance) — a composed
+    * dedup -> sessionize pipeline therefore undercounts exactly those
+    * rows relative to what this stage delivered, and reports them in
+    * `ConvSummary.dropped_late`.
     */
   def dedupStream(turns: DataFrame): DataFrame =
     turns
@@ -56,9 +63,13 @@ object StreamingExtract {
         avg(col("confidence")).as("mean_confidence"))
 
   final case class ConvState(turns: Long, okTurns: Long, lastIdx: Int,
-      gap: Boolean, lastActivityMs: Long)
+      gap: Boolean, lastActivityMs: Long, dropped: Long)
   final case class ConvSummary(conv_id: String, turns: Long, ok_turns: Long,
-      last_idx: Int, gap_detected: Boolean, closed: Boolean)
+      last_idx: Int, gap_detected: Boolean, closed: Boolean,
+      /** rows at idx <= lastIdx excluded from turns/ok_turns — replays OR
+        * late-but-distinct turns (indistinguishable without per-turn
+        * state); see the composition note on [[dedupStream]] */
+      dropped_late: Long)
 
   /** Stateful per-conversation tracker (mapGroupsWithState): running
     * turn/ok counters and turn_idx-gap detection per conv_id.
@@ -83,7 +94,7 @@ object StreamingExtract {
             val st = state.get
             state.remove()
             ConvSummary(convId, st.turns, st.okTurns, st.lastIdx, st.gap,
-              closed = true)
+              closed = true, dropped_late = st.dropped)
           } else sessionStep(convId, rows, state, gapMs)
       }
   }
@@ -92,7 +103,8 @@ object StreamingExtract {
       rows: Iterator[(String, Int, String, java.sql.Timestamp)],
       state: GroupState[ConvState], gapMs: Long): ConvSummary = {
     val prev = state.getOption.getOrElse(
-      ConvState(0, 0, -1, gap = false, lastActivityMs = Long.MinValue))
+      ConvState(0, 0, -1, gap = false, lastActivityMs = Long.MinValue,
+        dropped = 0))
     val sorted = rows.toSeq.sortBy(_._2)
     // replay tolerance: rows at idx <= lastIdx move nothing (not lastIdx,
     // not gap, not the turn/ok counters). Deliberate trade: distinguishing
@@ -106,6 +118,7 @@ object StreamingExtract {
     var last = prev.lastIdx
     var ok = prev.okTurns
     var turns = prev.turns
+    var dropped = prev.dropped
     var maxTs = Long.MinValue
     sorted.foreach { case (_, idx, status, ts) =>
       if (ts != null) maxTs = math.max(maxTs, ts.getTime)
@@ -114,13 +127,13 @@ object StreamingExtract {
         last = idx
         turns += 1
         if (status == "ok") ok += 1
-      }
+      } else dropped += 1
     }
     // last activity persists across batches: a late-but-valid row in a
     // later batch must never move the close time BACKWARD (timeout is
     // last-activity + gap, not this-batch-max + gap)
     val lastActivity = math.max(prev.lastActivityMs, maxTs)
-    val next = ConvState(turns, ok, last, gap, lastActivity)
+    val next = ConvState(turns, ok, last, gap, lastActivity, dropped)
     state.update(next)
     // idle-timeout at max(last activity, watermark) + gap — always
     // strictly ahead of the current watermark, so the call is legal and
@@ -128,6 +141,6 @@ object StreamingExtract {
     state.setTimeoutTimestamp(
       math.max(lastActivity, state.getCurrentWatermarkMs()) + gapMs)
     ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap,
-      closed = false)
+      closed = false, dropped_late = dropped)
   }
 }

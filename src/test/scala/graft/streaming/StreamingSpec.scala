@@ -97,6 +97,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     input.addData(turns.take(3).map(t => t.copy(turn_idx = t.turn_idx + 1000,
       ts = new java.sql.Timestamp(maxTs + 1000))))
     q2.processAllAvailable()
+    // replayed rows (same idx, fresh ts): excluded from turns/ok_turns and
+    // surfaced in dropped_late (the documented dedup/sessionize trade)
+    input.addData(turns.take(2).map(t =>
+      t.copy(ts = new java.sql.Timestamp(maxTs + 2000))))
+    q2.processAllAvailable()
     // third/fourth batches: a far-future turn on another conversation
     // advances the watermark past every idle conversation's timeout ->
     // their state is evicted and a final closed=true summary is emitted
@@ -115,6 +120,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c0 = sessRows.filter(_.conv_id == "conv-00000000").maxBy(_.turns)
     assert(c0.turns > 0 && c0.ok_turns <= c0.turns)
     assert(c0.gap_detected, "the +1000 turn_idx jump must flag a gap")
+    assert(sessRows.exists(r => r.conv_id == "conv-00000000" && r.dropped_late >= 2),
+      "replayed rows must be surfaced in dropped_late")
     assert(sessRows.exists(r => r.conv_id == "conv-00000000" && r.closed),
       "watermark past idle timeout must close the conversation's state")
   }
