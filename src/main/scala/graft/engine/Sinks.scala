@@ -29,6 +29,23 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** K6 debug text dump — the reference writes each document's full text
+    * to `full_pdf_text.txt` for manual review
+    * (MiscTestingScripts/Lauren_RX__JPG_Reader.py:433-435, one file,
+    * overwritten per document). The Spark-native shape: one partitioned
+    * text dump per run, `<id>\t<text-with-escaped-newlines>` lines, so
+    * the dump stays greppable AND distributed (no driver collect, no
+    * single-file bottleneck at 100 TB). Debug-only: never on the
+    * production path.
+    */
+  def debugTextDump(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.select(concat_ws("\t", col(idCol).cast("string"),
+        regexp_replace(col(textCol), "\n", "\\\\n")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   def mirrorToJdbc(df: DataFrame, cfg: JdbcConfig): Unit =
     df.write.mode("append")
       .format("jdbc")

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** spark-submit integration point: `--conf spark.sql.extensions=
+  * graft.plans.GraftExtensions` registers the library's native
+  * expressions in every session the cluster builds, so pure-SQL users
+  * get `extract_turn`, `minhash_sig` and `simhash` without Scala imports
+  * (the per-session [[ExtractTurnExpr.register]] stays for notebook use).
+  * The same hook would carry optimizer rules / strategies (preference
+  * path (c) of the operator policy); everything this library needs is
+  * expressible as native expressions + the declarative DataFrame API, so
+  * only functions are injected.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, cls: Class[_]) =
+    new ExpressionInfo(cls.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("extract_turn"),
+      info("extract_turn", classOf[ExtractTurnExpr]),
+      (es: Seq[Expression]) => {
+        require(es.size == 1, "usage: extract_turn(text)")
+        ExtractTurnExpr(es.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSigExpr]),
+      (es: Seq[Expression]) => {
+        require(es.size == 2 && es(1).foldable,
+          "usage: minhash_sig(tokens, k) with a literal k")
+        MinHashSigExpr(es.head, es(1).eval().toString.toInt)
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash"),
+      info("simhash", classOf[SimHashExpr]),
+      (es: Seq[Expression]) => {
+        require(es.size == 1, "usage: simhash(tokens)")
+        SimHashExpr(es.head)
+      }))
+  }
+}

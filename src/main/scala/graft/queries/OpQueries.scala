@@ -93,6 +93,68 @@ object OpQueries {
     "What is the Garuntor Phone number?",
     "Tell me the MRN?")
 
+  /** InsuranceCard1's 15-query bank verbatim (finalcodes/
+    * InsuranceCard1.py:92-107) — EXACTLY the per-call cap, so the batched
+    * path must keep it as ONE call. The first query carries no "?" (the
+    * reference's own text), exercising the no-question-mark arm of key
+    * derivation.
+    */
+  private[graft] val Insurance15Queries: Seq[String] = Seq(
+    "What is the Member Name",
+    "What is the Member ID?",
+    "Who is the PCP?",
+    "What is the phone number of the PCP?",
+    "What is the medical insurance provider?",
+    "What is the effective date?",
+    "What is the Group No.?",
+    "What is the plan type?",
+    "What is the BIN?",
+    "What is the Rx PCN?",
+    "What is the Generic Copay?",
+    "What is the Brand Copay?",
+    "What is the Specialty Copay?",
+    "What is the Emergency Room Percentage?",
+    "What is the PCP Copay?")
+
+  /** Prescription1's TWO banks verbatim (finalcodes/Prescription1.py:
+    * 104-119 first call of 15, :126-128 second call of 2) — the
+    * reference's only >15 bank besides facesheet, with its typo keys
+    * ("Memeber Sex", "Presciber") preserved: key derivation is textual,
+    * so the typos ARE the field names users see downstream.
+    */
+  private[graft] val Prescription17Queries: Seq[String] = Seq(
+    "What is the Member Name",
+    "What is the Memeber Sex?",
+    "What is the Member DOB?",
+    "What is the Member Phone?",
+    "What is the Member Age?",
+    "What is the Member ID?",
+    "Who is the Presciber?",
+    "What is the phone number of the PCP?",
+    "What is the PCP Fax?",
+    "What is the medical insurance provider?",
+    "What is the Group Name?",
+    "What is the payer id?",
+    "What is the Rx GRP?",
+    "What is the Applicable Diagnosis?",
+    "What is the Supply?",
+    "What is the Supply Quantity?",
+    "What is the Supply Duration?")
+
+  /** BreastPump's 9-query bank verbatim (finalcodes/BreastPump.py:
+    * 110-119).
+    */
+  private[graft] val Pump9Queries: Seq[String] = Seq(
+    "What is the Mother Name?",
+    "What is the Patient Name?",
+    "What is the Patient Phone Number?",
+    "What is the Patient Date of Birth?",
+    "What is the Physician Name?",
+    "What is the NPI Number?",
+    "What is the Medical Necessity?",
+    "What is the Infant Name?",
+    "What is the Infant Date of Birth?")
+
   /** Run a pure String=>String extractor over (doc_id, payload) rows. */
   private def runStr(s: SparkSession, df: DataFrame, outCol: String)(
       f: String => String): DataFrame = {
@@ -549,6 +611,153 @@ object OpQueries {
            |  $jsonSql AS document_data,
            |  '0.333333' AS confidence
            |FROM documents ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // KV0 at reference breadth, remaining doctype banks. Shared gate
+    // shape (bankEntry): the REAL batched bank runs per doc on Spark,
+    // the oracle reconstructs the exact sorted-key JSON; any drift in
+    // key derivation, batching, anchor lookup or A1 confidence breaks
+    // the hash compare.
+
+    // InsuranceCard1's 15-query bank (InsuranceCard1.py:92-107) —
+    // EXACTLY the per-call cap: one batch, no split; the no-"?" query
+    // ("What is the Member Name") derives its key without truncation.
+    // 9 of 15 answered -> A1 = 0.6.
+    "q_bank_insurance15" -> bankEntry(
+      Insurance15Queries,
+      {
+        val first = element_at(typedLit(Kv4Firsts), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+        val last = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id"), lit(7)) + 1).cast("int"))
+        val last2 = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id") + 2, lit(7)) + 1).cast("int"))
+        concat(
+          lit("INSURANCE CARD\nMember Name: "), upper(last), lit(", "), upper(first),
+          lit("\nMember ID: M"), (lit(100000) + col("doc_id")).cast("string"),
+          lit("\nPCP: Dr "), last2,
+          lit("\nEffective Date: "), dateCol(col("doc_id")),
+          lit("\nGroup No.: G"), pmod(col("doc_id"), lit(1000)).cast("string"),
+          lit("\nPlan Type: HMO"), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit("\nBIN: "), (lit(610000) + pmod(col("doc_id"), lit(10000))).cast("string"),
+          lit("\nRx PCN: PCN"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("\nGeneric Copay: $"), (lit(5) + pmod(col("doc_id"), lit(20))).cast("string"))
+      },
+      Map(
+        "Member Name" -> s"upper(($sqlKv4Lasts)[doc_id % 7 + 1])||', '||upper(($sqlKv4Firsts)[doc_id % 5 + 1])",
+        "Member ID" -> "'M'||CAST(100000 + doc_id AS VARCHAR)",
+        "PCP" -> s"'Dr '||($sqlKv4Lasts)[(doc_id + 2) % 7 + 1]",
+        "effective date" -> sqlDate,
+        "Group No." -> "'G'||CAST(doc_id % 1000 AS VARCHAR)",
+        "plan type" -> "'HMO'||CAST(doc_id % 3 AS VARCHAR)",
+        "BIN" -> "CAST(610000 + doc_id % 10000 AS VARCHAR)",
+        "Rx PCN" -> "'PCN'||CAST(doc_id % 7 AS VARCHAR)",
+        "Generic Copay" -> "'$'||CAST(5 + doc_id % 20 AS VARCHAR)"),
+      confidence = "0.6"),
+
+    // Prescription1's batched 15+2 bank (Prescription1.py:104-119,
+    // :126-128): two calls like the reference's two analyze_document
+    // invocations; typo keys ("Memeber Sex", "Presciber") are preserved
+    // verbatim — key derivation is textual, the typos ARE the field
+    // names. Cross-batch merge lands "Supply Quantity" next to batch-1's
+    // "Supply". 10 of 17 answered -> A1 = 0.588235.
+    "q_bank_rx17" -> bankEntry(
+      Prescription17Queries,
+      {
+        val first = element_at(typedLit(Kv4Firsts), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+        val last = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id"), lit(7)) + 1).cast("int"))
+        val last2 = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id") + 2, lit(7)) + 1).cast("int"))
+        val ph = concat(lit("("), (lit(200) + pmod(col("doc_id"), lit(700))).cast("string"),
+          lit(") 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        concat(
+          lit("PRESCRIPTION FORM\nMember Name: "), first, lit(" "), last,
+          lit("\nMemeber Sex: "), when(pmod(col("doc_id"), lit(2)) === 0, lit("F")).otherwise(lit("M")),
+          lit("\nMember DOB: "), dateCol(col("doc_id")),
+          lit("\nMember Phone: "), ph,
+          lit("\nMember ID: R"), (lit(200000) + col("doc_id")).cast("string"),
+          lit("\nPresciber: Dr "), last2,
+          lit("\nGroup Name: Grp"), pmod(col("doc_id"), lit(9)).cast("string"),
+          lit("\nRx GRP: RXG"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit("\nSupply: pump kit "), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit("\nSupply Quantity: "), (lit(1) + pmod(col("doc_id"), lit(6))).cast("string"))
+      },
+      Map(
+        "Member Name" -> s"($sqlKv4Firsts)[doc_id % 5 + 1]||' '||($sqlKv4Lasts)[doc_id % 7 + 1]",
+        "Memeber Sex" -> "CASE WHEN doc_id % 2 = 0 THEN 'F' ELSE 'M' END",
+        "Member DOB" -> sqlDate,
+        "Member Phone" -> "'('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')",
+        "Member ID" -> "'R'||CAST(200000 + doc_id AS VARCHAR)",
+        "Presciber" -> s"'Dr '||($sqlKv4Lasts)[(doc_id + 2) % 7 + 1]",
+        "Group Name" -> "'Grp'||CAST(doc_id % 9 AS VARCHAR)",
+        "Rx GRP" -> "'RXG'||CAST(doc_id % 5 AS VARCHAR)",
+        "Supply" -> "'pump kit '||CAST(doc_id % 4 AS VARCHAR)",
+        "Supply Quantity" -> "CAST(1 + doc_id % 6 AS VARCHAR)"),
+      confidence = "0.588235"),
+
+    // BreastPump's 9-query bank (BreastPump.py:110-119): single batch,
+    // 6 of 9 answered -> A1 = 0.666667.
+    "q_bank_pump9" -> bankEntry(
+      Pump9Queries,
+      {
+        val first = element_at(typedLit(Kv4Firsts), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+        val last = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id"), lit(7)) + 1).cast("int"))
+        val first2 = element_at(typedLit(Kv4Firsts), (pmod(col("doc_id") + 2, lit(5)) + 1).cast("int"))
+        val last2 = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id") + 2, lit(7)) + 1).cast("int"))
+        val ph = concat(lit("("), (lit(200) + pmod(col("doc_id"), lit(700))).cast("string"),
+          lit(") 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        concat(
+          lit("BREAST PUMP ORDER\nMother Name: "), first, lit(" "), last,
+          lit("\nPatient Phone Number: "), ph,
+          lit("\nPatient Date of Birth: "), dateCol(col("doc_id")),
+          lit("\nPhysician Name: Dr "), last2,
+          lit("\nNPI Number: "), (lit(1500000000L) + pmod(col("doc_id"), lit(1000000))).cast("string"),
+          lit("\nInfant Name: Baby "), first2)
+      },
+      Map(
+        "Mother Name" -> s"($sqlKv4Firsts)[doc_id % 5 + 1]||' '||($sqlKv4Lasts)[doc_id % 7 + 1]",
+        "Patient Phone Number" -> "'('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0')",
+        "Patient Date of Birth" -> sqlDate,
+        "Physician Name" -> s"'Dr '||($sqlKv4Lasts)[(doc_id + 2) % 7 + 1]",
+        "NPI Number" -> "CAST(1500000000 + doc_id % 1000000 AS VARCHAR)",
+        "Infant Name" -> s"'Baby '||($sqlKv4Firsts)[(doc_id + 2) % 5 + 1]"),
+      confidence = "0.666667")
   )
+
+  /** Shared gate shape for the reference query banks: Spark runs the
+    * REAL batched bank ([[Extract.queryBankBatched]], batches of 15 — the
+    * reference API cap) over a constructed payload; the oracle rebuilds
+    * the exact sorted-key JSON from `answeredSql` (missing keys -> "").
+    * `confidence` is the A1 value as `String.valueOf` renders it.
+    */
+  private def bankEntry(bank: Seq[String], payload: => Column,
+      answeredSql: Map[String, String], confidence: String): Entry = {
+    // guard at construction: every answeredSql key must be a derived key
+    // of the bank, else the oracle would assert an unreachable field
+    val derived = bank.map(Extract.queryKey).toSet
+    val stray = answeredSql.keySet.diff(derived)
+    require(stray.isEmpty, s"answeredSql keys not derived from bank: $stray")
+    Entry(
+      (s, d) => {
+        import s.implicits._
+        val df = rd(s, d, "documents").select(col("doc_id"), payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val dd = Extract.queryBankBatched(bank, p)
+            (id, dd.size, Extract.fieldsToJson(dd),
+              String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6))
+          })
+          .toDF("doc_id", "n_keys", "document_data", "confidence")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val keys = bank.map(Extract.queryKey).distinct.sorted
+        val jsonSql = keys.map { k =>
+          answeredSql.get(k) match {
+            case Some(v) => s"'\"$k\":\"'||$v||'\"'"
+            case None    => s"""'"$k":""'"""
+          }
+        }.mkString("'{'||", "||','||", "||'}'")
+        s"""SELECT doc_id, ${keys.size} AS n_keys,
+           |  $jsonSql AS document_data,
+           |  '$confidence' AS confidence
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
+  }
 }

@@ -37,4 +37,16 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       chain.exists(_.isInstanceOf[java.sql.SQLException]),
       s"unexpected failure: $msgs")
   }
+
+  test("K6 debug text dump: distributed, newline-escaped, round-trippable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("k6-dump").toString
+    val df = Seq((7L, "line one\nline two"), (8L, "plain")).toDF("id", "text")
+    Sinks.debugTextDump(df, "id", "text", s"$dir/out")
+    val lines = spark.read.text(s"$dir/out").as[String].collect().sorted
+    assert(lines.toSeq == Seq("7\tline one\\nline two", "8\tplain"))
+    // overwrite semantics: a rerun replaces, never appends
+    Sinks.debugTextDump(df.filter($"id" === 7), "id", "text", s"$dir/out")
+    assert(spark.read.text(s"$dir/out").count() == 1)
+  }
 }
