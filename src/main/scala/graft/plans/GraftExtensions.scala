@@ -29,9 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", classOf[MinHashSigExpr]),
       (es: Seq[Expression]) => {
-        require(es.size == 2 && es(1).foldable,
-          "usage: minhash_sig(tokens, k) with a literal k")
-        MinHashSigExpr(es.head, es(1).eval().toString.toInt)
+        val usage = "usage: minhash_sig(tokens, k) with a literal k"
+        require(es.size == 2 && es(1).foldable, usage)
+        // fold the literal ourselves: a null / fractional / non-numeric k
+        // must fail with the usage message at analysis, not leak an NPE
+        // or NumberFormatException out of toString.toInt
+        val k = es(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long
+              if l >= 1L && l <= Int.MaxValue => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte  => b.intValue()
+          case _ => throw new IllegalArgumentException(usage)
+        }
+        require(k >= 1 && k <= 1024, usage)
+        MinHashSigExpr(es.head, k)
       }))
     ext.injectFunction((FunctionIdentifier("simhash"),
       info("simhash", classOf[SimHashExpr]),

@@ -14,6 +14,18 @@ import graft.extract.Extract
   */
 class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  // spark.sql.extensions is applied only when a session is BUILT:
+  // getOrCreate would silently return another suite's extension-less
+  // session if one is active in this test JVM. Stop and clear any
+  // session first so the builder constructs a fresh one with
+  // GraftExtensions applied (the flake the r3 advice flagged).
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .appName("extensions-spec")
@@ -22,7 +34,11 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   test("spark.sql.extensions registers extract_turn/minhash_sig/simhash for SQL") {
     val row = spark.sql(
@@ -46,5 +62,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-foldable k (rand() is evaluated per-row, not constant)
     intercept[Exception](spark.sql(
       "SELECT minhash_sig(array('a'), cast(rand()*4 as int))").head())
+  }
+
+  test("minhash_sig: null / non-integral literal k fails with the usage message") {
+    for (bad <- Seq("null", "'x'", "1.5", "0", "-3", "cast(null as int)")) {
+      val e = intercept[Exception](
+        spark.sql(s"SELECT minhash_sig(array('a'), $bad)").head())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("usage: minhash_sig(tokens, k) with a literal k"),
+        s"k=$bad raised without the usage message: $msgs")
+    }
   }
 }
