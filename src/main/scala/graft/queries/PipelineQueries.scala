@@ -76,13 +76,39 @@ object PipelineQueries {
     bandPlanes.zipWithIndex.map { case (ps, b) => s"'$b-' || ${sqlBucket(ps)}" }
       .mkString("[", ",\n      ", "]")
 
+  /** Hot-band-bucket cap: only the first `BandBucketCap` items (by id)
+    * of each band bucket enter the candidate self-join. Without it a
+    * band key shared by k items emits k(k-1)/2 candidate pairs on ONE
+    * shuffle partition — quadratic again on template-heavy corpora at
+    * 100×. With it, a bucket emits at most cap(cap-1)/2 pairs and the
+    * TOTAL candidate count is O(n·cap): each surviving row pairs with
+    * < cap bucket-mates, summed over `bands` band sets. Recall impact:
+    * a clique larger than the cap loses same-band pairs past its first
+    * `cap` members in THIS band — they can still collide in the other
+    * bands (independent hashes), and the dedup use-case proper
+    * (dd_ngram_jaccard) uses the bucket-min topology, which keeps every
+    * member linked to the bucket representative regardless of size.
+    */
+  private[queries] val BandBucketCap = 64
+
   /** The banded LSH candidate topology shared by every near-dup query:
-    * explode the item's band keys, equi-join on the key, dedup BARE id
-    * pairs (the shuffle carries no payloads), then re-join payloads only
-    * for the verified comparisons. `items` must have columns (id, p).
+    * explode the item's band keys, rank within each band bucket and cap
+    * hot buckets (see [[BandBucketCap]]), equi-join on the key, dedup
+    * BARE id pairs (the shuffle carries no payloads), then re-join
+    * payloads only for the verified comparisons. `items` must have
+    * columns (id, p). The capping window shuffles `banded` by band ONCE;
+    * both sides of the self-join are projections of that same window
+    * output, so the exchange is planned once and reused (asserted in
+    * PlanSpec), not recomputed per side — the band keys (e.g. 32 dot
+    * products/row for hyperplane LSH) are evaluated once.
     */
   private def bandedPairs(items: DataFrame, bands: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = items.select(explode(bands).as("band"), col("id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("id"))))
+      .filter(col("rn") <= BandBucketCap)
+      .select(col("band"), col("id"))
     val ids = banded.select(col("band"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .where(col("id_a") < col("id_b"))
@@ -227,7 +253,9 @@ object PipelineQueries {
       Some(s"""WITH t AS (SELECT doc_id, $sqlShingles AS toks
               |          FROM documents WHERE doc_id < 200),
               |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
-              |bands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |allbands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |bands AS (SELECT doc_id, band FROM allbands
+              |          QUALIFY row_number() OVER (PARTITION BY band ORDER BY doc_id) <= $BandBucketCap),
               |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               |        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
               |pairs AS (SELECT id_a, id_b, ta.toks AS toks_a, tb.toks AS toks_b
@@ -304,7 +332,9 @@ object PipelineQueries {
            |    list_transform(generate_series(1, 64), j ->
            |      v[j] * (CAST(1.0 AS DOUBLE) + CAST((j - 1) % 5 - 2 AS DOUBLE) * CAST(0.004 AS DOUBLE)))
            |  FROM e),
-           |b AS (SELECT vec_id, v, unnest(${sqlHyperBandKeys(bp)}) AS band FROM corpus),
+           |ab AS (SELECT vec_id, v, unnest(${sqlHyperBandKeys(bp)}) AS band FROM corpus),
+           |b AS (SELECT vec_id, v, band FROM ab
+           |      QUALIFY row_number() OVER (PARTITION BY band ORDER BY vec_id) <= $BandBucketCap),
            |ids AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
            |        FROM b a JOIN b c ON a.band = c.band AND a.vec_id < c.vec_id),
            |pairs AS (SELECT id_a, id_b, ca.v AS v_a, cb.v AS v_b

@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("banded LSH band keys are computed once: the band exchange is reused") {
+    // Both sides of the candidate self-join are projections of the SAME
+    // capped-bucket window output, so the exchange under it (whose child
+    // computes the band keys — 32 dot products/row for hyperplane LSH)
+    // must be planned once and reused, not evaluated per join side.
+    // Assert with AQE off: the static ReuseExchange rule then marks the
+    // second occurrence, proving the subplans are canonically identical
+    // (the same property AQE's runtime stage cache reuses when on).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("dd_minhash_lsh", "dd_embedding_lsh")) {
+        val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+        assert(p.contains("ReusedExchange"),
+          s"$q recomputes the banded subplan on one join side:\n" + p.take(3000))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dd_ngram_jaccard is clique-linear: no join carries the band key") {
     // the r2 within-band self-join emitted O(k^2) pairs per template
     // clique (159 s at sf0.1). The rewrite compares each doc only to its
