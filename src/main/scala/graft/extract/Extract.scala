@@ -472,26 +472,59 @@ object Extract {
     if (j >= 0) afterThe.substring(0, j) else afterThe
   }
 
+  /** Case-insensitive anchor lookup shared by the query-bank arms:
+    * first-wins also across CASE-variant keys ("MRN:" vs "Mrn:"),
+    * consistent with kvAnchors' first-occurrence rule per exact key.
+    */
+  private def anchorLookup(text: String): Map[String, String] =
+    kvAnchors(text).foldLeft(Map.empty[String, String]) {
+      case (m, (k, v)) =>
+        val kl = k.toLowerCase
+        if (m.contains(kl)) m else m + (kl -> v)
+    }
+
   /** Answer a query bank from the document's KV anchors: a query is
     * answered by the first anchor whose normalized key equals the query
     * key case-insensitively. Duplicate query keys overwrite (Python dict
     * assignment order, Facesheet.py:168/175).
     */
   def queryBank(queries: Seq[String], text: String): Map[String, String] = {
-    val anchors = kvAnchors(text)
-    // first-wins also across CASE-variant keys ("MRN:" vs "Mrn:"),
-    // consistent with kvAnchors' first-occurrence rule per exact key
-    val byKey = anchors.foldLeft(Map.empty[String, String]) {
-      case (m, (k, v)) =>
-        val kl = k.toLowerCase
-        if (m.contains(kl)) m else m + (kl -> v)
-    }
+    val byKey = anchorLookup(text)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (q <- queries) {
       val key = queryKey(q)
       out(key) = byKey.getOrElse(normalizeKey(key).toLowerCase, "")
     }
     out.toMap
+  }
+
+  /** The reference's MERGED-LIST bank form (queryCodes/
+    * AttemptedMergeQueryCodes:88-112): queries carry an (text, alias)
+    * pair, batches of `batchSize` run in order, every batch's
+    * (query text, alias, answer) triples are concatenated and
+    * deduplicated on the EXACT triple (:95-100 — a repeated query with
+    * the same alias and same answer is kept once; a differing answer
+    * would keep both), then the kept triples are sorted by
+    * `query_order` — a dict comprehension over the bank where a
+    * duplicate alias takes the index of its LAST occurrence (:110-112),
+    * so duplicate-alias triples sort at that later position (stable
+    * sort preserves their relative order). Unanswered queries carry ""
+    * (the engine's uniform convention, same as [[queryBank]]).
+    */
+  def queryBankMerged(queries: Seq[(String, String)], text: String,
+      batchSize: Int = 15): Vector[(String, String, String)] = {
+    val byKey = anchorLookup(text)
+    val processed = scala.collection.mutable.HashSet.empty[(String, String, String)]
+    val out = Vector.newBuilder[(String, String, String)]
+    for (batch <- queries.grouped(batchSize); (q, alias) <- batch) {
+      val key = queryKey(q)
+      val triple = (q, alias, byKey.getOrElse(normalizeKey(key).toLowerCase, ""))
+      if (processed.add(triple)) out += triple
+    }
+    // Python `{alias: i for i, q in enumerate(...)}`: later index wins —
+    // Scala toMap has the same last-wins semantics; sortBy is stable.
+    val order = queries.zipWithIndex.map { case ((_, a), i) => a -> i }.toMap
+    out.result().sortBy(t => order.getOrElse(t._2, Int.MaxValue))
   }
 
   /** B1 batching for banks past the per-call cap: the reference's API

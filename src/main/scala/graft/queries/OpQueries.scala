@@ -141,6 +141,29 @@ object OpQueries {
     "What is the Supply Quantity?",
     "What is the Supply Duration?")
 
+  /** InsuranceCard2's and Prescription2's SHARED 11-query bank verbatim
+    * ((text, alias) pairs — finalcodes/InsuranceCard2.py:107-119 ==
+    * finalcodes/Prescription2.py:107-117): the only reference bank with
+    * an intra-call DUPLICATE ALIAS ("clientname" on both Member Name and
+    * Member ID). Keying is by query TEXT (InsuranceCard2.py:138-141 —
+    * split on "the ", cut at "?"), so the duplicate alias does not
+    * collide in document_data; it matters in the merged-list form
+    * (queryCodes/AttemptedMergeQueryCodes:95-112), where triples dedupe
+    * on (text, alias, answer) and sort by the alias's LAST bank position.
+    */
+  private[graft] val Insurance11Queries: Seq[(String, String)] = Seq(
+    "What is the Member Name?" -> "clientname",
+    "What is the Member ID?" -> "clientname",
+    "Who is the PCP?" -> "rendname",
+    "What is the phone number of the PCP?" -> "renderphone",
+    "What is the medical insurance provider?" -> "rendfax",
+    "What is the effective date?" -> "npi",
+    "What is the Group Name?" -> "rendtaxid",
+    "What is the payer id?" -> "rendtax",
+    "What is the RS BIN?" -> "doctorname",
+    "What is the Rx PCN?" -> "medsupply",
+    "What is the Rx GRP?" -> "qty")
+
   /** BreastPump's 9-query bank verbatim (finalcodes/BreastPump.py:
     * 110-119).
     */
@@ -717,7 +740,79 @@ object OpQueries {
         "Physician Name" -> s"'Dr '||($sqlKv4Lasts)[(doc_id + 2) % 7 + 1]",
         "NPI Number" -> "CAST(1500000000 + doc_id % 1000000 AS VARCHAR)",
         "Infant Name" -> s"'Baby '||($sqlKv4Firsts)[(doc_id + 2) % 5 + 1]"),
-      confidence = "0.666667")
+      confidence = "0.666667"),
+
+    // InsuranceCard2/Prescription2's shared 11-query bank — BOTH forms:
+    // document_data keyed by query text (InsuranceCard2.py:138-151,
+    // 7 of 11 answered -> A1 = 7/11) AND the merged-triple form with an
+    // exact duplicate of the first query appended in a later batch
+    // (batchSize 6 -> two batches), pinning AttemptedMergeQueryCodes'
+    // (text, alias, answer) triple-dedup (:95-100 — the identical
+    // re-answer is dropped) and its alias-LAST-position sort (:110-112 —
+    // the duplicate alias "clientname" sends both Member triples to the
+    // END of the merged list, stable between them).
+    "q_bank_insurance11" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val first = element_at(typedLit(Kv4Firsts), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+        val last = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id"), lit(7)) + 1).cast("int"))
+        val last2 = element_at(typedLit(Kv4Lasts), (pmod(col("doc_id") + 2, lit(7)) + 1).cast("int"))
+        val payload = concat(
+          lit("INSURANCE CARD\nMember Name: "), upper(last), lit(", "), upper(first),
+          lit("\nMember ID: C"), (lit(300000) + col("doc_id")).cast("string"),
+          lit("\nPCP: Dr "), last2,
+          lit("\nEffective Date: "), dateCol(col("doc_id")),
+          lit("\nGroup Name: Grp"), pmod(col("doc_id"), lit(9)).cast("string"),
+          lit("\nRS BIN: "), (lit(610000) + pmod(col("doc_id"), lit(10000))).cast("string"),
+          lit("\nRx PCN: PCN"), pmod(col("doc_id"), lit(7)).cast("string"))
+        val texts = Insurance11Queries.map(_._1)
+        val mergedBank = Insurance11Queries :+ Insurance11Queries.head
+        val df = rd(s, d, "documents").select(col("doc_id"), payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val dd = Extract.queryBankBatched(texts, p)
+            val merged = Extract.queryBankMerged(mergedBank, p, batchSize = 6)
+              .map { case (_, alias, ans) => s"$alias=$ans" }.mkString("; ")
+            (id, dd.size, Extract.fieldsToJson(dd),
+              String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6),
+              merged)
+          })
+          .toDF("doc_id", "n_keys", "document_data", "confidence", "merged")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val firstSql = s"($sqlKv4Firsts)[doc_id % 5 + 1]"
+        val lastSql = s"($sqlKv4Lasts)[doc_id % 7 + 1]"
+        val last2Sql = s"($sqlKv4Lasts)[(doc_id + 2) % 7 + 1]"
+        val memberName = s"upper($lastSql)||', '||upper($firstSql)"
+        val memberId = "'C'||CAST(300000 + doc_id AS VARCHAR)"
+        val pcp = s"'Dr '||$last2Sql"
+        val grp = "'Grp'||CAST(doc_id % 9 AS VARCHAR)"
+        val bin = "CAST(610000 + doc_id % 10000 AS VARCHAR)"
+        val pcn = "'PCN'||CAST(doc_id % 7 AS VARCHAR)"
+        val (nKeys, jsonSql) = bankJsonSql(Insurance11Queries.map(_._1), Map(
+          "Member Name" -> memberName,
+          "Member ID" -> memberId,
+          "PCP" -> pcp,
+          "effective date" -> sqlDate,
+          "Group Name" -> grp,
+          "RS BIN" -> bin,
+          "Rx PCN" -> pcn))
+        // merged order: aliases at their LAST bank position — the
+        // duplicate alias "clientname" (positions 0,1, dup at 11) sorts
+        // both Member triples to the end, original relative order kept
+        val mergedSql = Seq(
+          s"'rendname='||$pcp", "'renderphone='", "'rendfax='",
+          s"'npi='||$sqlDate", s"'rendtaxid='||$grp", "'rendtax='",
+          s"'doctorname='||$bin", s"'medsupply='||$pcn", "'qty='",
+          s"'clientname='||$memberName", s"'clientname='||$memberId"
+        ).mkString("||'; '||")
+        s"""SELECT doc_id, $nKeys AS n_keys,
+           |  $jsonSql AS document_data,
+           |  '0.636364' AS confidence,
+           |  $mergedSql AS merged
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Shared gate shape for the reference query banks: Spark runs the
@@ -747,17 +842,27 @@ object OpQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val keys = bank.map(Extract.queryKey).distinct.sorted
-        val jsonSql = keys.map { k =>
-          answeredSql.get(k) match {
-            case Some(v) => s"'\"$k\":\"'||$v||'\"'"
-            case None    => s"""'"$k":""'"""
-          }
-        }.mkString("'{'||", "||','||", "||'}'")
-        s"""SELECT doc_id, ${keys.size} AS n_keys,
+        val (nKeys, jsonSql) = bankJsonSql(bank, answeredSql)
+        s"""SELECT doc_id, $nKeys AS n_keys,
            |  $jsonSql AS document_data,
            |  '$confidence' AS confidence
            |FROM documents ORDER BY doc_id""".stripMargin
       })
+  }
+
+  /** The oracle's reconstruction of fieldsToJson over a bank's derived
+    * keys: sorted distinct keys, answered ones from `answeredSql`,
+    * missing ones as "". Returns (key count, SQL string expression).
+    */
+  private def bankJsonSql(bank: Seq[String],
+      answeredSql: Map[String, String]): (Int, String) = {
+    val keys = bank.map(Extract.queryKey).distinct.sorted
+    val jsonSql = keys.map { k =>
+      answeredSql.get(k) match {
+        case Some(v) => s"'\"$k\":\"'||$v||'\"'"
+        case None    => s"""'"$k":""'"""
+      }
+    }.mkString("'{'||", "||','||", "||'}'")
+    (keys.size, jsonSql)
   }
 }

@@ -69,4 +69,49 @@ class BankSpec extends AnyFunSuite {
     assert(dd.valuesIterator.count(_.nonEmpty) == 6)
     assert(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6 == 0.666667)
   }
+
+  test("insurance11: duplicate alias keeps distinct text keys; 7/11 answered") {
+    val payload =
+      "INSURANCE CARD\nMember Name: LI, ANA\nMember ID: C300007\n" +
+        "PCP: Dr Novak\nEffective Date: 08/08/1987\nGroup Name: Grp7\n" +
+        "RS BIN: 610007\nRx PCN: PCN0"
+    val texts = OpQueries.Insurance11Queries.map(_._1)
+    val dd = Extract.queryBankBatched(texts, payload)
+    // keying is by query TEXT, so the duplicate ALIAS (clientname on both
+    // Member queries) cannot collide in document_data
+    assert(dd.size == 11)
+    assert(dd("Member Name") == "LI, ANA")
+    assert(dd("Member ID") == "C300007")
+    assert(dd("RS BIN") == "610007")
+    assert(dd("Rx GRP") == "")
+    assert(dd.valuesIterator.count(_.nonEmpty) == 7)
+    assert(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6 == 0.636364)
+  }
+
+  test("merged form: triple-dedup drops identical re-answers, alias sorts by LAST position") {
+    val payload = "Member Name: LI, ANA\nMember ID: C7\nPCP: Dr Novak"
+    // exact duplicate of query 0 in a second batch (batchSize 6)
+    val bank = OpQueries.Insurance11Queries :+ OpQueries.Insurance11Queries.head
+    val merged = Extract.queryBankMerged(bank, payload, batchSize = 6)
+    // the duplicate (text, alias, answer) triple is dropped -> 11 kept
+    assert(merged.size == 11)
+    // alias sort uses the alias's LAST bank position (the dict
+    // comprehension's later-wins), so both clientname triples land at
+    // the END, stable between them (Member Name before Member ID)
+    assert(merged.takeRight(2).map(_._2) == Vector("clientname", "clientname"))
+    assert(merged(9) == ("What is the Member Name?", "clientname", "LI, ANA"))
+    assert(merged(10) == ("What is the Member ID?", "clientname", "C7"))
+    // non-duplicate aliases keep bank order; unanswered carry ""
+    assert(merged.head == ("Who is the PCP?", "rendname", "Dr Novak"))
+    assert(merged(1) == ("What is the phone number of the PCP?", "renderphone", ""))
+    // a DIFFERING answer for a repeated (text, alias) is kept, not deduped
+    val differing = Extract.queryBankMerged(
+      Seq("What is the X?" -> "a", "What is the X?" -> "a"), "X: one",
+      batchSize = 1)
+    assert(differing.size == 1) // same text+alias+answer -> deduped
+    val kept = Extract.queryBankMerged(
+      Seq("What is the X?" -> "a", "What is the X?" -> "b"), "X: one",
+      batchSize = 1)
+    assert(kept.size == 2) // alias differs -> triple differs -> both kept
+  }
 }
