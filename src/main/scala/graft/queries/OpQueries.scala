@@ -812,7 +812,50 @@ object OpQueries {
            |  '0.636364' AS confidence,
            |  $mergedSql AS merged
            |FROM documents ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // C4 geometry arm end-to-end (detect_signature Method 2 before
+    // Method 3, Ethan_PDFandJPG3.py:498-516): constructed LayoutSpan
+    // payloads cover the wide-short-TEXTLESS hit (width varies with
+    // doc_id), the has-text miss that falls through to a text-indicator
+    // hit, the no-signature case, and the exact boundary values
+    // (width == 0.2 and height == 0.05 are exclusive, so they miss).
+    "c4_signature_geometry" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.extract.Extract.LayoutSpan
+        rd(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (text, spans) = (id % 4) match {
+              case 0 =>
+                // geometry hit: wide, short, text-less stroke block
+                ("plain agreement body",
+                  Seq(LayoutSpan(0.3 + (id % 5) * 0.01, 0.02, hasText = false)))
+              case 1 =>
+                // same box WITH text -> Method 2 misses; Method 3 catches
+                ("Signature: present on file",
+                  Seq(LayoutSpan(0.5, 0.02, hasText = true)))
+              case 2 =>
+                ("nothing of note", Seq.empty[LayoutSpan])
+              case _ =>
+                // boundary misses: width not > 0.2, height not < 0.05,
+                // narrow textless block
+                ("nothing of note", Seq(
+                  LayoutSpan(0.2, 0.01, hasText = false),
+                  LayoutSpan(0.5, 0.05, hasText = false),
+                  LayoutSpan(0.1, 0.02, hasText = false)))
+            }
+            (id,
+              String.valueOf(Extract.detectSignatureGeometry(spans)),
+              String.valueOf(Extract.detectSignatureFull(text, spans)))
+          })
+          .toDF("doc_id", "sig_geometry", "sig_full")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 4 = 0 THEN 'true' ELSE 'false' END AS sig_geometry,
+             |  CASE WHEN doc_id % 4 <= 1 THEN 'true' ELSE 'false' END AS sig_full
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared gate shape for the reference query banks: Spark runs the
