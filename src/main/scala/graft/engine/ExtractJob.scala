@@ -18,14 +18,17 @@ import graft.extract.Extract
 final case class TurnSlim(
     conv_id: String, turn_idx: Int, text: String, input_file: String)
 
-/** Flat sink-boundary row: `sections`/`fields` are canonical JSON strings
-  * (reference-faithful — the reference's sinks store JSON text — and ~20x
-  * cheaper to write than nested parquet groups; recover typed columns via
-  * `from_json` with [[ExtractJob.SectionsSchema]]/[[ExtractJob.FieldsSchema]]).
+/** Flat sink-boundary row: `sections`/`fields`/`field_src` are canonical
+  * JSON strings (reference-faithful — the reference's sinks store JSON
+  * text — and ~20x cheaper to write than nested parquet groups; recover
+  * typed columns via `from_json` with
+  * [[ExtractJob.SectionsSchema]]/[[ExtractJob.FieldsSchema]]).
+  * `field_src` carries per-field provenance (anchor | pattern), keyed
+  * identically to `fields`.
   */
 final case class ResultRow(
     conv_id: String, turn_idx: Int, doc_type: String, extracted_text: String,
-    sections: String, fields: String,
+    sections: String, fields: String, field_src: String,
     signature_present: Boolean, confidence: Double, status: String,
     partition_id: Int, input_file: String)
 
@@ -95,6 +98,7 @@ object ExtractJob {
           val e = Extract.extractTurn(t.conv_id, t.turn_idx, t.text)
           ResultRow(e.conv_id, e.turn_idx, e.doc_type, e.extracted_text,
             Extract.sectionsToJson(e.sections), Extract.fieldsToJson(e.fields),
+            Extract.fieldsToJson(e.field_src),
             e.signature_present, e.confidence, e.status, pid, t.input_file)
         }
       }

@@ -844,10 +844,10 @@ object Extract {
   def extractTurn(convId: String, turnIdx: Int, text: String): ExtractedTurn = {
     if (text == null || text.isEmpty)
       return ExtractedTurn(convId, turnIdx, "UNKNOWN", "", Vector.empty,
-        Map.empty, signature_present = false, 0.0, "failed:empty")
+        Map.empty, Map.empty, signature_present = false, 0.0, "failed:empty")
     if (text.length > MaxTextChars)
       return ExtractedTurn(convId, turnIdx, "UNKNOWN", "", Vector.empty,
-        Map.empty, signature_present = false, 0.0, "failed:oversize")
+        Map.empty, Map.empty, signature_present = false, 0.0, "failed:oversize")
     try {
       val stripped = extractText(text)
       val sections = segment(stripped)
@@ -864,17 +864,23 @@ object Extract {
         else Map.empty[String, String]
       // Merge precedence: pattern-bank result beats KV anchor (§3.3).
       val fields = anchors ++ bank
+      // provenance mirrors the merge exactly: a key in `bank` was
+      // produced (or overridden) by the pattern arm, anything else by
+      // its KV anchor
+      val fieldSrc = fields.map { case (k, _) =>
+        k -> (if (bank.contains(k)) "pattern" else "anchor")
+      }
       val sig = detectSignature(stripped)
       val conf =
         if (docType.contains("AGREEMENT")) confidenceA2(bank, sig)
         else confidenceA1(fields)
       ExtractedTurn(convId, turnIdx, docType, stripped, sections, fields,
-        sig, conf, "ok")
+        fieldSrc, sig, conf, "ok")
     } catch {
       case e: Exception =>
         // E1 quarantine: never abort the job on one bad row.
         ExtractedTurn(convId, turnIdx, "UNKNOWN", "", Vector.empty,
-          Map.empty, signature_present = false, 0.0,
+          Map.empty, Map.empty, signature_present = false, 0.0,
           s"failed:${e.getClass.getSimpleName}")
     }
   }

@@ -34,6 +34,15 @@ final case class Section(header: String, start: Int, len: Int) {
 /** Output row of the extraction pipeline — the Spark-native form of the
   * reference's `{document_data: map, confidence: {...}}` JSON rows
   * (`IDD/finalcodes/Facesheet.py:157-184`).
+  *
+  * `field_src` is per-field provenance, parallel to `fields`: which arm
+  * produced each value — "anchor" (KV line anchor) or "pattern" (regex
+  * field bank; wins the merge for a shared key, SignedAgreementFinalDB:
+  * 237-261). The query-bank APIs ([[graft.extract.Extract.queryBank]]
+  * family) are a separate surface whose every field is query-derived, so
+  * "query" never appears here. Provenance is what makes extraction
+  * regressions debuggable at scale: a field that silently flips from
+  * pattern to anchor shows up in a one-line groupBy.
   */
 final case class ExtractedTurn(
     conv_id: String,
@@ -42,6 +51,7 @@ final case class ExtractedTurn(
     extracted_text: String,
     sections: Seq[Section],
     fields: Map[String, String],
+    field_src: Map[String, String],
     signature_present: Boolean,
     confidence: Double,
     status: String

@@ -20,6 +20,7 @@ object ExtractTurnBridge {
       UTF8String.fromString(e.doc_type),
       UTF8String.fromString(e.extracted_text),
       UTF8String.fromString(Extract.fieldsToJson(e.fields)),
+      UTF8String.fromString(Extract.fieldsToJson(e.field_src)),
       UTF8String.fromString(Extract.sectionsToJson(e.sections)),
       e.signature_present,
       e.confidence,
@@ -58,6 +59,7 @@ object ExtractTurnExpr {
     StructField("doc_type", StringType, nullable = false),
     StructField("extracted_text", StringType, nullable = false),
     StructField("fields", StringType, nullable = false),
+    StructField("field_src", StringType, nullable = false),
     StructField("sections", StringType, nullable = false),
     StructField("signature_present", BooleanType, nullable = false),
     StructField("confidence", DoubleType, nullable = false),

@@ -72,9 +72,19 @@ object XQueries {
             e.fields.getOrElse("patient_last_name", ""),
             e.fields.getOrElse("patient_dob", ""),
             e.fields.getOrElse("patient_phone", ""),
+            // per-field provenance: the canonical bank fields come from
+            // the pattern arm, the raw "MRN:"/"Patient Name:" lines from
+            // the anchor arm (the bank's canonical names never collide
+            // with the anchor keys, so BOTH survive the merge — each
+            // with its own source)
+            e.field_src.getOrElse("patient_name", ""),
+            e.field_src.getOrElse("MRN", ""),
+            e.field_src.getOrElse("Patient Name", ""),
             math.rint(e.confidence * 1e6) / 1e6),
           Seq("doc_type", "patient_name", "patient_first_name",
-            "patient_last_name", "patient_dob", "patient_phone", "confidence"))
+            "patient_last_name", "patient_dob", "patient_phone",
+            "src_patient_name", "src_mrn", "src_anchor_patient_name",
+            "confidence"))
       },
       Some(s"""SELECT doc_id,
               |  'FACESHEET' AS doc_type,
@@ -83,6 +93,9 @@ object XQueries {
               |  upper($sqlTok1) AS patient_last_name,
               |  $sqlDate AS patient_dob,
               |  '('||CAST(200 + doc_id % 700 AS VARCHAR)||') 555-'||lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') AS patient_phone,
+              |  'pattern' AS src_patient_name,
+              |  'anchor' AS src_mrn,
+              |  'anchor' AS src_anchor_patient_name,
               |  CAST(round((11 - CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) / 11.0, 6) AS VARCHAR) AS confidence
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
