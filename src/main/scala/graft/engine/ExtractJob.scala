@@ -155,14 +155,20 @@ object ExtractJob {
     val resPath = s"${cfg.outDir}/results/snapshot=${snap.id}"
     Sinks.writeParquet(results.toDF(), resPath)
     val written = spark.read.parquet(resPath)
-    // The mirror is AT-LEAST-ONCE: a crash between this append and the
-    // commit marker re-runs the snapshot and re-appends. Rows carry
+    // Default mirror is AT-LEAST-ONCE: a crash between this append and
+    // the commit marker re-runs the snapshot and re-appends. Rows carry
     // snapshot_id so a consumer (or a MERGE-capable load job) can dedupe
     // on (snapshot_id, conv_id, turn_idx); plain JDBC append cannot be
     // exactly-once without sink-side transactions. The parquet system of
-    // record stays exactly-once via overwrite + marker.
-    cfg.jdbc.foreach(j => Sinks.mirrorToJdbc(
-      written.withColumn("snapshot_id", org.apache.spark.sql.functions.lit(snap.id)), j))
+    // record stays exactly-once via overwrite + marker. `staged` mirrors
+    // into a per-snapshot staging table with overwrite-on-replay instead,
+    // making consumer-side dedup optional (Sinks.mirrorToJdbcStaged).
+    cfg.jdbc.foreach { j =>
+      val withSnap = written.withColumn("snapshot_id",
+        org.apache.spark.sql.functions.lit(snap.id))
+      if (j.staged) Sinks.mirrorToJdbcStaged(withSnap, j, snap.id)
+      else Sinks.mirrorToJdbc(withSnap, j)
+    }
     val lin = lineage(spark, written, cfg.runId, snap.id)
     lin.write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
     // turn count from the (tiny) lineage table, not a second results scan;

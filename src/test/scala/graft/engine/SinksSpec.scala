@@ -38,6 +38,41 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected failure: $msgs")
   }
 
+  test("staged mirror: crash-replay overwrites the snapshot's staging table, no duplicates") {
+    import spark.implicits._
+    // in-memory table store honoring append/overwrite — the writer
+    // indirection exists exactly because no JDBC driver ships here; the
+    // orchestration under test (staging-table naming, overwrite-on-
+    // replay) is the real code path
+    val tables = scala.collection.mutable.Map.empty[String, Vector[String]]
+    val writer: Sinks.TableWriter = (df, table, overwrite) => {
+      val rows = df.collect().map(_.toString).toVector
+      tables(table) =
+        if (overwrite) rows else tables.getOrElse(table, Vector.empty) ++ rows
+    }
+    val cfg = Sinks.JdbcConfig("jdbc:postgresql://h/db", "results", staged = true)
+    val snap3 = Seq(("c0", 0, "ok"), ("c0", 1, "ok"))
+      .toDF("conv_id", "turn_idx", "status")
+    val snap4 = Seq(("c1", 0, "ok")).toDF("conv_id", "turn_idx", "status")
+    Sinks.mirrorToJdbcStaged(snap3, cfg, 3, Some(writer))
+    Sinks.mirrorToJdbcStaged(snap4, cfg, 4, Some(writer))
+    // crash before the commit marker -> the whole snapshot replays: the
+    // staging write must OVERWRITE, leaving each row exactly once
+    Sinks.mirrorToJdbcStaged(snap3, cfg, 3, Some(writer))
+    assert(tables.keySet == Set("results_snap_3", "results_snap_4"))
+    assert(tables("results_snap_3").size == 2)
+    assert(tables("results_snap_4").size == 1)
+    // contrast: an append-mode replay WOULD duplicate — the documented
+    // reason the default (unstaged) contract demands consumer-side dedup
+    val appendWriter: Sinks.TableWriter = (df, table, _) => {
+      val rows = df.collect().map(_.toString).toVector
+      tables(table) = tables.getOrElse(table, Vector.empty) ++ rows
+    }
+    Sinks.mirrorToJdbcStaged(snap3, cfg, 5, Some(appendWriter))
+    Sinks.mirrorToJdbcStaged(snap3, cfg, 5, Some(appendWriter))
+    assert(tables("results_snap_5").size == 4)
+  }
+
   test("K6 debug text dump: distributed, losslessly escaped, round-trippable") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("k6-dump").toString
