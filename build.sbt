@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default
+// LoggedOutput prepends "[info] " to every stdout line, which breaks
+// any consumer that parses a program's JSON output line (the bench
+// driver's BENCH_r*.json showed the result line as `[info] {...}` —
+// present but unparseable — in every previous round).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

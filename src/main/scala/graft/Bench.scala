@@ -274,91 +274,160 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", Defaults.SfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Defaults.Cpus.toString).toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS",
       Defaults.BenchConvs.toString).toInt
     val giant = sys.env.getOrElse("SPARK_GRAFT_BENCH_GIANT",
       Defaults.Giant.toString).toInt
+    val trialsMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS",
+      Defaults.Trials.toString).toInt
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    // WALL-CLOCK BUDGET for this main. The round driver runs the bench
+    // under a kill timeout and parses stdout: every previous round's
+    // artifact was parsed:null (rc 124 in r3 — killed mid-gate after the
+    // full run grew past ~45 min; r1/r2 completed but sbt's [info]
+    // prefix made the line unparseable, fixed in build.sbt). The default
+    // fits the demonstrated-safe envelope (a 1605 s total run captured
+    // rc 0 in r2); phases degrade gracefully: mandatory minimums first,
+    // optional repeats only while the budget holds, and the result JSON
+    // is re-emitted after every phase so even a kill leaves the last
+    // complete figure parseable.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1560").toInt
+    def remainingS: Double = budgetS - elapsedS
+
+    // ---- state filled in phase by phase; emit() renders what exists ----
+    var results: Seq[(String, Double)] = Seq.empty
+    var totalTurns: Long = 0L
+    val execCores = math.max(2, cpus / 4) // default 32 -> 8-core executors
+    val nExec = cpus / execCores          // 4
+    var effTrialsV: Seq[Double] = Seq.empty
+    var shareBestV: Seq[Double] = Seq.empty
+    var fullBestV: Option[Double] = None
+    var effV: Option[Double] = None
+    var effMedV: Option[Double] = None
+    var thrSingleV: Option[Double] = None
+    var thr4NEmuV: Option[Double] = None
+    var rawEffTrialsV: Seq[Double] = Seq.empty
+    var rawEffV: Option[Double] = None
+    var rawEffBestV: Option[Double] = None
+    var tFullMinV: Option[Double] = None
+    var thrFullV: Option[Double] = None
+    var sizeRatioV: Option[Double] = None
+    var saltedSecsV: Option[Double] = None
+    var probesJsonV: Option[String] = None
+    var gateTrialsRun = 0
+    var rawTrialsRun = 0
+    var sizeTrialsRun = 0
+    var saltedTrialsRun = 0
+    var budgetCut: List[String] = Nil
+
+    def fmtList(xs: Seq[Double]): String =
+      xs.map(e => f"$e%.3f").mkString("[", ",", "]")
+    def jd(v: Option[Double]): String =
+      v.map(x => f"$x%.3f").getOrElse("null")
+    def jthr(v: Option[Double]): String =
+      v.map(x => f"$x%.0f").getOrElse("null")
+
+    /** Print the ONE result JSON line reflecting everything measured so
+      * far — called after every phase (and every gate trial), stdout
+      * flushed, so whatever instant the driver's timeout kills this run,
+      * the LAST parseable line carries the most complete figures. Also
+      * mirrored to BENCH/latest.json.
+      */
+    def emit(phase: String, complete: Boolean): Unit = {
+      val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val gateMet = (effV, effMedV) match {
+        // the PRE-REGISTERED dual gate (BASELINE.md acceptance): BOTH the
+        // per-arm best AND the paired median must clear 0.8
+        case (Some(a), Some(b)) => (a >= 0.8 && b >= 0.8).toString
+        case _ => "null"
+      }
+      val pairs = Seq(
+        effV.map(e =>
+          f"""{"kind":"node-count 1->$nExec x $execCores cores (gate, sequential node emulation)","executors_n":1,"executors_4n":$nExec,"cores_each":$execCores,"turns":$totalTurns,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thr4NEmuV)},"eff_trials":${fmtList(effTrialsV)},"scaling_efficiency":$e%.3f,"scaling_efficiency_paired_median":${jd(effMedV)},"full_best_s":${jd(fullBestV)},"share_best_s":${fmtList(shareBestV)}}"""),
+        rawEffV.map(e =>
+          f"""{"kind":"executor-count 1->$nExec real executor JVMs, concurrent on one box (reported)","executors_n":1,"executors_4n":$nExec,"cores_each":$execCores,"turns":$totalTurns,"eff_trials":${fmtList(rawEffTrialsV)},"scaling_efficiency":$e%.3f,"scaling_efficiency_cleanest_trial":${jd(rawEffBestV)}}"""),
+        sizeRatioV.map(r =>
+          f"""{"kind":"executor-size (deployment guidance)","cores_n":$execCores,"cores_4n":$cpus,"turns":$totalTurns,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thrFullV)},"per_core_ratio":$r%.3f}""")
+      ).flatten.mkString("[", ",", "]")
+      val saltedThr = saltedSecsV.map(s => totalTurns / s)
+      val cuts = budgetCut.reverse.map(s => "\"" + s + "\"")
+        .mkString("[", ",", "]")
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","phase":"$phase","complete":$complete,"budget_s":$budgetS,"elapsed_s":${elapsedS}%.0f,"extract_turns":$totalTurns,"cores_n":$execCores,"cores_4n":$cpus,"gate_trials":$gateTrialsRun,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thr4NEmuV)},"scaling_efficiency":${jd(effV)},"scaling_efficiency_paired_median":${jd(effMedV)},"gate_met":$gateMet,"scaling_efficiency_raw_concurrent":${jd(rawEffV)},"scaling_efficiency_raw_cleanest":${jd(rawEffBestV)},"salted_throughput":${jthr(saltedThr)},"scaling_pairs":$pairs,"probes":${probesJsonV.getOrElse("null")},"budget_cut":$cuts}"""
+      System.err.flush()
+      // leading newline: stderr log lines are not guaranteed to end
+      // flush-aligned, and a JSON line glued to a log tail is unparseable
+      println()
+      println(json)
+      System.out.flush()
+      try {
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(Paths.get("BENCH/latest.json"), json + "\n")
+      } catch { case _: Throwable => () }
+    }
 
     // ---- phase 1: catalog queries at full parallelism -------------------
     val s1 = session(cpus)
-    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
-      else {
-        // discarded warmup pass: the first timed queries otherwise absorb
-        // JVM/codegen/parquet-footer warmup and misrank the table
-        // (r1 artifact: a1_confidence_expr "cost" 7.85 s of warmup)
-        for (w <- Seq("p7_md5_meta", "q1_lineitem_agg", "x_pipeline_insurance"))
-          SparkEntry.queries.get(w) match {
-            case Some(fn) =>
-              try fn(s1, sfDir).foreach(_ => ())
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] warmup $w failed: $e") }
-            case None =>
-              // a renamed warmup query must not silently reintroduce the
-              // warmup-pollutes-first-timed-query artifact
-              System.err.println(s"[bench] WARNING: warmup query '$w' missing")
-          }
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          // best-of-2 per query: a throughput claim, so the min is the
-          // honest figure against this host's one-sided noise episodes
-          // (run 1 of 2026-08-17 recorded dd_embedding_lsh at 102 s and
-          // ta_langid at 69 s — 20x their clean times — because a
-          // multi-minute episode covered the catalog phase)
-          val t = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            // foreach materializes every column — count() would let the
-            // optimizer prune away the projected work being measured
-            try { fn(s1, sfDir).foreach(_ => ()) }
-            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          name -> t
+    if (!skipQueries) {
+      // discarded warmup pass: the first timed queries otherwise absorb
+      // JVM/codegen/parquet-footer warmup and misrank the table
+      // (r1 artifact: a1_confidence_expr "cost" 7.85 s of warmup)
+      for (w <- Seq("p7_md5_meta", "q1_lineitem_agg", "x_pipeline_insurance"))
+        SparkEntry.queries.get(w) match {
+          case Some(fn) =>
+            try fn(s1, sfDir).foreach(_ => ())
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $w failed: $e") }
+          case None =>
+            // a renamed warmup query must not silently reintroduce the
+            // warmup-pollutes-first-timed-query artifact
+            System.err.println(s"[bench] WARNING: warmup query '$w' missing")
         }
+      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // best-of-2 per query: a throughput claim, so the min is the
+        // honest figure against this host's one-sided noise episodes
+        // (run 1 of 2026-08-17 recorded dd_embedding_lsh at 102 s and
+        // ta_langid at 69 s — 20x their clean times — because a
+        // multi-minute episode covered the catalog phase)
+        val t = (1 to 2).map { _ =>
+          val q0 = System.nanoTime()
+          // foreach materializes every column — count() would let the
+          // optimizer prune away the projected work being measured
+          try { fn(s1, sfDir).foreach(_ => ()) }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          (System.nanoTime() - q0) / 1e9
+        }.min
+        name -> t
       }
+    }
+    emit("catalog", complete = false)
 
     // ---- phase 2: scaling efficiency on the extraction pipeline ---------
     // The north rule's two-cluster-size criterion (N vs 4N executors,
-    // efficiency >= 0.8), evidenced on one box.
-    //
-    // On a REAL cluster, the N-node and the 4N-node configuration run
-    // every node under IDENTICAL per-node conditions — each node brings
-    // its own cores, LLC, DRAM and OS. No concurrent single-box
-    // experiment can reproduce that: any pairing of an 8-wide arm with a
-    // 32-wide arm (single JVM, packed fleets, or real local-cluster
-    // executors — all measured, BASELINE.md §postmortem) conflates the
-    // engine with this box's concurrency curve. Therefore:
-    //
-    // GATE (sequential node emulation, N=1 vs 4N=4 nodes of `execCores`):
-    // trial i runs, back-to-back, on an otherwise idle box:
+    // efficiency >= 0.8), evidenced on one box by SEQUENTIAL NODE
+    // EMULATION (estimator rationale: BASELINE.md acceptance table +
+    // §postmortem; the r2 concurrent estimators are retired there).
+    // Trial i runs back-to-back on an otherwise idle box:
     //   (a) the FULL job on one execCores-core executor JVM: T_full(i);
-    //   (b) each of the nExec bucket-shares of the SAME table (bucket id
-    //       mod nExec) on the same executor JVM, sequentially; in the
-    //       4N-node configuration these shares run concurrently on
-    //       independent nodes, so the emulated 4N wall clock is
-    //       max_q T_q(i) — the straggler share, which is where skew
-    //       (the planted giant conversation) shows up honestly.
-    //   eff_i = T_full(i) / (nExec * max_q T_q(i)); gate = MEDIAN of
-    //   eff_1..eff_K, full distribution committed next to it.
-    // Conservative by construction: every share pays the full per-job
-    // tail (setup + commit + lineage rollup) that the real single 4N job
-    // pays once, and the static bucket-share split forgoes the dynamic
-    // task balancing a real 4-executor job gets. Paired per-trial ratios
-    // cancel this host's documented multi-minute noise episodes
-    // (§anomaly); the r2 cross-level best-of estimator was a coin flip
-    // (builder 0.745-0.904 over five runs, driver re-run 0.691).
-    //
-    // REPORTED (not gated): the same job on REAL executor processes —
-    // Spark standalone local-cluster[1,execCores] vs [nExec,execCores] —
-    // the honest concurrent-on-one-box measurement, with the measured
-    // single-box confounds alongside (microbench evidence block) so the
-    // gap to the gate figure is attributed, not asserted.
+    //   (b) each of the nExec bucket-shares of the SAME table on the same
+    //       JVM shape, sequentially, in a per-trial ROTATED order; the
+    //       emulated 4N wall clock is max_q T_q(i) — the straggler share,
+    //       where the planted giant conversation shows up honestly.
+    // GATE (pre-registered, BOTH must clear 0.8):
+    //   per-arm best  eff = min_i T_full(i) / (nExec x max_q min_i T_q(i))
+    //   paired median median_i [ T_full(i) / (nExec x max_q T_q(i)) ]
+    // Noise on this host is strictly additive (co-tenant waves only SLOW
+    // an arm): the per-arm minimum estimates each arm's idle-box time
+    // while the max over share minima preserves genuine skew; the paired
+    // median bounds what estimator choice can hide.
     val benchBase = Files.createTempDirectory("graft-bench").toString
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS",
-      Defaults.Trials.toString).toInt
-
     val tableDir = s"$benchBase/table"
     // small parquet row groups so scan granularity matches the production
     // shape (many row groups per bucket -> splits within a bucket; at one
@@ -367,10 +436,8 @@ object Bench {
     TranscriptsTable.appendSnapshot(s1, tableDir, 1, 0, benchConvs, giant,
       buckets = cpus, rowGroupBytes = Some(Defaults.RowGroupBytes))
     s1.stop()
-    val totalTurns = graft.gen.TranscriptGen.totalTurns(benchConvs, giant)
+    totalTurns = graft.gen.TranscriptGen.totalTurns(benchConvs, giant)
 
-    val execCores = math.max(2, cpus / 4) // default 32 -> 8-core executors
-    val nExec = cpus / execCores          // 4
     val physGb = {
       val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       bean match {
@@ -387,39 +454,55 @@ object Bench {
 
     // ---- microbench evidence block (committed with the record) ----------
     // DVFS probe: fixed single-core spin, idle box vs 31-core busy-spin
-    // pin — measures whether all-core load drops the clock on this host
+    // pin; pure-function probe: Extract.extractTurn in a plain thread
+    // pool at execCores vs cpus threads; DRAM-bandwidth sum-scan probe.
     spinProbeSecs() // JIT warmup, discarded
     val spinIdle = spinProbeSecs()
     val spinPinned = withClockPin(1, cpus) { spinProbeSecs() }
-    // pure-function probe: Extract.extractTurn in a plain thread pool (no
-    // Spark) at execCores vs cpus threads — the hardware/JVM concurrency
-    // curve for THIS workload
     val pureCorpus = pureCorpusArr
     pureExtractThroughput(4, pureCorpus, 1500) // JIT warmup, discarded
     val pureN = pureExtractThroughput(execCores, pureCorpus, 3000)
     val pure4N = pureExtractThroughput(cpus, pureCorpus, 3000)
-    // DRAM-bandwidth probe (sequential sum-scan)
     val memBwN = memBandwidthGBps(execCores)
     val memBw4N = memBandwidthGBps(cpus)
+    probesJsonV = Some(
+      f"""{"dvfs_allcore_factor":${spinPinned / spinIdle}%.3f,"pure_extract_per_thread_ratio":${(pure4N / cpus) / (pureN / execCores)}%.3f,"pure_extract_turns_per_sec":{"$execCores":$pureN%.0f,"$cpus":$pure4N%.0f},"mem_bw_gbps":{"$execCores":$memBwN%.1f,"$cpus":$memBw4N%.1f}}""")
     System.err.println(
       f"[bench] probes: DVFS x${spinPinned / spinIdle}%.2f; pure extract " +
         f"$execCores thr ${pureN / 1000}%.0fk/s vs $cpus thr " +
         f"${pure4N / 1000}%.0fk/s (per-thread ratio ${(pure4N / cpus) / (pureN / execCores)}%.2f); " +
         f"mem bw $memBwN%.1f -> $memBw4N%.1f GB/s")
 
-    // ---- GATE: sequential node emulation --------------------------------
+    // ---- GATE: sequential node emulation, budget-adaptive trials --------
     val tFullArm = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tQuarters = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
-    for (i <- 1 to trials) {
+    def refreshGateEstimates(): Unit = {
+      effTrialsV = tFullArm.zip(tQuarters)
+        .map { case (f, qs) => f / (nExec * qs.max) }.toSeq
+      effMedV = Some(median(effTrialsV))
+      fullBestV = Some(tFullArm.min)
+      shareBestV = (0 until nExec).map(q => tQuarters.map(_(q)).min)
+      effV = Some(tFullArm.min / (nExec * shareBestV.max))
+      thrSingleV = Some(totalTurns / tFullArm.min)
+      thr4NEmuV = Some(totalTurns / shareBestV.max)
+    }
+    // leave room after the gate for one raw-cluster trial, one full-JVM
+    // run and one salted run (estimated from the measured full arm)
+    def fullArmEst: Double = fullBestV.getOrElse(150.0)
+    def postGateReserve: Double = fullArmEst * 1.5 + fullArmEst * 0.6 + 30 + 60
+    var lastTrialCost = 0.0
+    while (gateTrialsRun < trialsMax &&
+        (gateTrialsRun < 2 ||
+          remainingS > lastTrialCost * 1.15 + postGateReserve)) {
+      val i = gateTrialsRun + 1
+      val w0 = System.nanoTime()
       val f = pinnedTrial(tableDir, s"$benchBase/gateFull", execCores,
         heapGb = execHeap)
       // share execution order ROTATES per trial: this host's noise comes
       // in minute-scale waves, and with a fixed order the same share sits
-      // in the same time slot of every trial — measured 2026-08-17 run 1,
-      // where the 3rd-position share drew 60/45/63 s against ~30 s
-      // siblings in all three trials. Rotation decorrelates wave position
-      // from share identity, which the per-arm best-of estimator below
-      // depends on.
+      // in the same time slot of every trial (measured 2026-08-17 run 1);
+      // rotation decorrelates wave position from share identity, which
+      // the per-arm best-of estimator depends on.
       val qs = new Array[Double](nExec)
       for (k <- 0 until nExec) {
         val q = (k + (i - 1)) % nExec
@@ -430,37 +513,55 @@ object Bench {
         f"[bench] gate trial $i: full $f%.2fs; shares " +
           qs.map(t => f"$t%.2f").mkString("/") + "s")
       tFullArm += f; tQuarters += qs.toSeq
+      gateTrialsRun = i
+      lastTrialCost = (System.nanoTime() - w0) / 1e9
+      refreshGateEstimates()
+      emit("gate", complete = false)
     }
-    val effTrials = tFullArm.zip(tQuarters).map { case (f, qs) =>
-      f / (nExec * qs.max)
-    }.toSeq
-    val effPairedMedian = median(effTrials)
-    // GATE figure: per-arm best-of-trials. Noise on this host is strictly
-    // additive — co-tenant waves/episodes only SLOW an arm — so each
-    // arm's minimum over the K trials (interleaved across the full gate
-    // phase, with share order rotating per trial) estimates its true
-    // idle-box time; the MAX over the share minima preserves genuine skew
-    // (a share that is REALLY slower is slower in every draw, so its
-    // minimum stays high). The per-trial paired ratios above are reported
-    // alongside as the sensitivity diagnostic: on a quiet box the two
-    // agree; when minute-scale waves land on individual 30-40 s share
-    // runs, the paired ratios scatter (measured 0.557-0.965 within one
-    // run on 2026-08-17) while the per-arm minima converge. An r2-style
-    // failure (all K draws of one arm poisoned) requires a wave longer
-    // than the whole interleaved gate phase, which contradicts the
-    // measured episode scale — and would show up as paired ratios
-    // AGREEING with a low best-arm figure, not scattering.
-    val fullBest = tFullArm.min
-    val shareBest = (0 until nExec).map(q => tQuarters.map(_(q)).min)
-    val eff = fullBest / (nExec * shareBest.max)
-    val thrSingle = totalTurns / fullBest
-    val thr4NEmu = totalTurns / shareBest.max
+    if (gateTrialsRun < trialsMax)
+      budgetCut ::= s"gate_trials=$gateTrialsRun<$trialsMax"
+
+    // ---- salted runs at full parallelism (cheap, so scheduled first) ----
+    // Documents the skew-handling path's overhead (shuffle + secondary
+    // sort) vs the bucketed path. Best-of-K: a throughput claim, so the
+    // min is the honest figure against one-sided noise.
+    val saltedCostEst = 40.0
+    while (saltedTrialsRun < 2 &&
+        (saltedTrialsRun < 1 || remainingS > saltedCostEst + fullArmEst * 2.1 + 60) &&
+        remainingS > saltedCostEst) {
+      val t = pinnedTrial(tableDir, s"$benchBase/outSalted", cpus, "salted",
+        heapGb = fullHeap)
+      System.err.println(f"[bench] salted trial local[$cpus]: $t%.2fs")
+      saltedSecsV = Some(math.min(saltedSecsV.getOrElse(Double.MaxValue), t))
+      saltedTrialsRun += 1
+    }
+    if (saltedTrialsRun == 0) budgetCut ::= "salted=skipped"
+    emit("salted", complete = false)
+
+    // ---- executor-size arm: one node-wide JVM (deployment guidance) -----
+    while (sizeTrialsRun < 3 &&
+        (sizeTrialsRun < 1 || remainingS > fullArmEst * 0.6 + fullArmEst * 1.5 + 60) &&
+        remainingS > fullArmEst * 0.6 + 30) {
+      val t = pinnedTrial(tableDir, s"$benchBase/full", cpus, heapGb = fullHeap)
+      System.err.println(f"[bench] full-JVM local[$cpus]: $t%.2fs")
+      tFullMinV = Some(math.min(tFullMinV.getOrElse(Double.MaxValue), t))
+      sizeTrialsRun += 1
+    }
+    tFullMinV.foreach { t =>
+      thrFullV = Some(totalTurns / t)
+      // best-of like the gate arms: both sides of the per-core ratio use
+      // the same one-sided-noise-robust estimate
+      sizeRatioV = thrSingleV.map(thrS => (totalTurns / t / cpus) / (thrS / execCores))
+    }
+    if (sizeTrialsRun == 0) budgetCut ::= "executor_size=skipped"
+    emit("executor-size", complete = false)
 
     // ---- REPORTED: real executor processes, concurrent ------------------
-    val rawTrials = math.min(3, trials)
     val tRawA = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tRawB = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (i <- 1 to rawTrials) {
+    while (rawTrialsRun < 3 &&
+        (rawTrialsRun < 1 || remainingS > fullArmEst * 1.5 + 60) &&
+        remainingS > fullArmEst * 1.5 + 15) {
       // the `cores` argument drives the taskset width: executor child
       // processes inherit the driver's CPU affinity, so the 4N arm must
       // be pinned to all nExec*execCores cores
@@ -469,84 +570,62 @@ object Bench {
       val b = pinnedTrial(tableDir, s"$benchBase/rawB", nExec * execCores,
         mode = s"cluster:$nExec:$execCores:${execHeap * 1024}", heapGb = 4)
       System.err.println(
-        f"[bench] raw cluster trial $i: 1x$execCores $a%.2fs; " +
+        f"[bench] raw cluster trial ${rawTrialsRun + 1}: 1x$execCores $a%.2fs; " +
           f"${nExec}x$execCores $b%.2fs")
       tRawA += a; tRawB += b
+      rawTrialsRun += 1
+      rawEffTrialsV = tRawA.zip(tRawB).map { case (x, y) => x / (nExec * y) }.toSeq
+      rawEffV = Some(median(rawEffTrialsV))
+      // the CLEANEST trial (lowest combined wall time): noise episodes
+      // land on whole arms one-sidedly, so the fastest-total trial is the
+      // least-contaminated concurrent measurement
+      val bestIdx = tRawA.zip(tRawB).zipWithIndex
+        .minBy { case ((x, y), _) => x + y }._2
+      rawEffBestV = Some(rawEffTrialsV(bestIdx))
+      emit("raw-cluster", complete = false)
     }
-    val rawEffTrials = tRawA.zip(tRawB).map { case (a, b) =>
-      a / (nExec * b)
-    }.toSeq
-    val rawEff = median(rawEffTrials)
-    // the CLEANEST trial (lowest combined wall time): this host's
-    // multi-minute noise episodes (BASELINE.md §anomaly) land on whole
-    // arms one-sidedly — an episode on the 4N arm craters the ratio, one
-    // on the N arm inflates it — so the trial that total-ran fastest is
-    // the least-contaminated concurrent measurement; reported next to the
-    // median, full distribution alongside
-    val rawBestIdx = tRawA.zip(tRawB).zipWithIndex
-      .minBy { case ((a, b), _) => a + b }._2
-    val rawEffBest = rawEffTrials(rawBestIdx)
+    if (rawTrialsRun == 0) budgetCut ::= "raw_cluster=skipped"
 
-    // ---- deployment guidance: one node-wide JVM vs an 8-core executor ---
-    val tFull = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to rawTrials)
-      tFull += pinnedTrial(tableDir, s"$benchBase/full", cpus,
-        heapGb = fullHeap)
-    // best-of like the gate arms: both sides of the per-core ratio use
-    // the same one-sided-noise-robust estimate
-    val thrFull = totalTurns / tFull.min
-    val sizeRatio = (thrFull / cpus) / (thrSingle / execCores)
-
-    // salted runs at full parallelism: documents the skew-handling
-    // path's overhead (shuffle + secondary sort) vs the bucketed path.
-    // Best-of-K (throughput claim, not a ratio — a noise episode can only
-    // hurt, so the min is the honest capability number; observed 10.7 s
-    // vs 80.0 s for the identical salted job minutes apart).
-    var saltedSecs = Double.MaxValue
-    for (i <- 1 to trials) {
-      val t = pinnedTrial(tableDir, s"$benchBase/outSalted", cpus, "salted",
-        heapGb = fullHeap)
-      System.err.println(f"[bench] salted trial $i local[$cpus]: $t%.2fs")
-      saltedSecs = math.min(saltedSecs, t)
-    }
-
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def fmtList(xs: Seq[Double]): String =
-      xs.map(e => f"$e%.3f").mkString("[", ",", "]")
-    val gatePairJson =
-      f"""{"kind":"node-count 1->$nExec x $execCores cores (gate, sequential node emulation)","executors_n":1,"executors_4n":$nExec,"cores_each":$execCores,"turns":$totalTurns,"throughput_n":$thrSingle%.0f,"throughput_4n":$thr4NEmu%.0f,"eff_trials":${fmtList(effTrials)},"scaling_efficiency":$eff%.3f,"scaling_efficiency_paired_median":$effPairedMedian%.3f,"full_best_s":$fullBest%.2f,"share_best_s":${fmtList(shareBest)}}"""
-    val rawPairJson =
-      f"""{"kind":"executor-count 1->$nExec real executor JVMs, concurrent on one box (reported)","executors_n":1,"executors_4n":$nExec,"cores_each":$execCores,"turns":$totalTurns,"eff_trials":${fmtList(rawEffTrials)},"scaling_efficiency":$rawEff%.3f,"scaling_efficiency_cleanest_trial":$rawEffBest%.3f}"""
-    val sizePairJson =
-      f"""{"kind":"executor-size (deployment guidance)","cores_n":$execCores,"cores_4n":$cpus,"turns":$totalTurns,"throughput_n":$thrSingle%.0f,"throughput_4n":$thrFull%.0f,"per_core_ratio":$sizeRatio%.3f}"""
-    val probesJson =
-      f"""{"dvfs_allcore_factor":${spinPinned / spinIdle}%.3f,"pure_extract_per_thread_ratio":${(pure4N / cpus) / (pureN / execCores)}%.3f,"pure_extract_turns_per_sec":{"$execCores":$pureN%.0f,"$cpus":$pure4N%.0f},"mem_bw_gbps":{"$execCores":$memBwN%.1f,"$cpus":$memBw4N%.1f}}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$totalTurns,"throughput_n":$thrSingle%.0f,"throughput_4n":$thr4NEmu%.0f,"cores_n":$execCores,"cores_4n":$cpus,"scaling_efficiency":$eff%.3f,"scaling_efficiency_paired_median":$effPairedMedian%.3f,"scaling_efficiency_raw_concurrent":$rawEff%.3f,"scaling_efficiency_raw_cleanest":$rawEffBest%.3f,"scaling_pairs":[$gatePairJson,$rawPairJson,$sizePairJson],"probes":$probesJson,"salted_throughput":${totalTurns / saltedSecs}%.0f}""")
+    emit("final", complete = true)
 
     // refresh BENCH/BASELINE.md when run from the repo — but ONLY from a
-    // full, default-configured run: any reduced experiment must not
-    // silently replace the artifact of record with incomparable numbers.
-    // The guard is DERIVED from Defaults (the same values the env vars
-    // default to), so changing a default constant changes the guard with
-    // it; a run classified as reduced is logged with the reasons.
+    // default-configured run that completed every section (>= 3 gate
+    // trials and at least one salted / executor-size / raw-cluster run):
+    // a reduced experiment must not silently replace the artifact of
+    // record with incomparable numbers. The config guard is DERIVED from
+    // Defaults (the same values the env vars default to), so changing a
+    // default constant changes the guard with it.
     val reducedReasons = Seq(
       "skip-queries" -> skipQueries,
-      s"trials=$trials < ${Defaults.Trials}" -> (trials < Defaults.Trials),
       s"sfDir=$sfDir != ${Defaults.SfDir}" -> (sfDir != Defaults.SfDir),
       s"cpus=$cpus != host ${Defaults.Cpus}" -> (cpus != Defaults.Cpus),
       s"convs=$benchConvs != ${Defaults.BenchConvs}" -> (benchConvs != Defaults.BenchConvs),
-      s"giant=$giant != ${Defaults.Giant}" -> (giant != Defaults.Giant)
+      s"giant=$giant != ${Defaults.Giant}" -> (giant != Defaults.Giant),
+      s"gate trials $gateTrialsRun < 3" -> (gateTrialsRun < 3),
+      "salted skipped" -> (saltedTrialsRun == 0),
+      "executor-size skipped" -> (sizeTrialsRun == 0),
+      "raw-cluster skipped" -> (rawTrialsRun == 0)
     ).collect { case (why, true) => why }
-    if (reducedReasons.nonEmpty)
+    if (reducedReasons.nonEmpty) {
       System.err.println("[bench] reduced run (" +
         reducedReasons.mkString("; ") + ") — BENCH/BASELINE.md NOT refreshed")
-    else try {
+      return
+    }
+    try {
       // ALL prose below is derived from THIS run's numbers — history and
       // methodology postmortems live in BASELINE.md §anomaly, never here.
-      val gateMet = if (eff >= 0.8) "MET" else "NOT MET"
+      val eff = effV.get
+      val effPairedMedian = effMedV.get
+      val gateMet =
+        if (eff >= 0.8 && effPairedMedian >= 0.8) "MET" else "NOT MET"
+      val fullBest = fullBestV.get
+      val thrSingle = thrSingleV.get
+      val thr4NEmu = thr4NEmuV.get
+      val thrFull = thrFullV.get
+      val sizeRatio = sizeRatioV.get
+      val saltedSecs = saltedSecsV.get
+      val rawEff = rawEffV.get
+      val rawEffBest = rawEffBestV.get
       def effProse(xs: Seq[Double]): String =
         xs.map(e => f"$e%.3f").mkString(" / ")
       val md =
@@ -554,7 +633,8 @@ object Bench {
            |
            |Host: ${Runtime.getRuntime.availableProcessors()} cores (no SMT),
            |Spark ${org.apache.spark.SPARK_VERSION}, worker JVMs per arm,
-           |$trials paired trials (gate), input $totalTurns turns.
+           |$gateTrialsRun gate trials within a ${budgetS} s budget
+           |(elapsed ${elapsedS}%.0f s), input $totalTurns turns.
            |
            |Job under test: read bucketed transcripts table -> fused
            |mapPartitions extract -> write results + per-partition lineage.
@@ -580,44 +660,40 @@ object Bench {
            |clock is the MAX share time (the straggler share, where the
            |planted giant conversation shows up honestly).
            |Share execution order rotates across trials so a noise wave
-           |cannot shadow the same share in every trial. GATE figure:
-           |per-arm best-of-$trials — noise on this host is strictly
-           |additive (co-tenant waves only SLOW an arm), so each arm's
-           |minimum over the $trials interleaved trials estimates its true
-           |idle-box time, and the MAX over the share minima preserves
-           |genuine skew (a really-slower share is slower in every draw,
-           |so its minimum stays high):
-           |eff = min_i T_full(i) / ($nExec x max_q min_i T_q(i)).
-           |The per-trial PAIRED ratios eff_i = T_full(i)/($nExec x
-           |max_share(i)) and their median are committed alongside as the
-           |sensitivity diagnostic: on a quiet box the two estimators
-           |agree; scattered paired ratios with converged minima mean
-           |waves landed on individual share runs. Conservative by
-           |construction: every share pays the full per-job tail (setup +
-           |commit + lineage) that the real single 4N job pays once, and
-           |the static split forgoes the dynamic task balancing a real
-           |4-executor job gets.
+           |cannot shadow the same share in every trial.
+           |THE GATE BINDS BOTH ESTIMATORS (pre-registered, BASELINE.md
+           |acceptance table): per-arm best-of-$gateTrialsRun
+           |eff = min_i T_full(i) / ($nExec x max_q min_i T_q(i)) — noise
+           |here is strictly additive (co-tenant waves only SLOW an arm),
+           |so each arm's minimum estimates its true idle-box time and the
+           |max over share minima preserves genuine skew — AND the paired
+           |per-trial median of eff_i = T_full(i)/($nExec x max_share(i)),
+           |which bounds what estimator choice could hide; both must
+           |clear 0.8. Conservative by construction: every share pays the
+           |full per-job tail (setup + commit + lineage) that the real
+           |single 4N job pays once, and the static split forgoes the
+           |dynamic task balancing a real 4-executor job gets.
            |
            |## Node-count scaling — 1 vs $nExec nodes x $execCores cores (gate)
            |
-           || config | best-of-$trials s | turns/s |
+           || config | best-of-$gateTrialsRun s | turns/s |
            ||---|---|---|
            || full job, 1 node | $fullBest%.2f | $thrSingle%.0f |
-           || emulated $nExec nodes (max share minimum) | ${shareBest.max}%.2f | $thr4NEmu%.0f |
+           || emulated $nExec nodes (max share minimum) | ${shareBestV.max}%.2f | $thr4NEmu%.0f |
            |
-           |Per-share best seconds: ${shareBest.map(t => f"$t%.2f").mkString(" / ")}
-           |**Scaling efficiency (per-arm best) = $eff%.3f** (gate >= 0.8: $gateMet).
-           |Paired per-trial ratios: ${effProse(effTrials)} -> median
-           |$effPairedMedian%.3f (diagnostic; see estimator note above).
+           |Per-share best seconds: ${shareBestV.map(t => f"$t%.2f").mkString(" / ")}
+           |**Scaling efficiency: per-arm best = $eff%.3f, paired median =
+           |$effPairedMedian%.3f** (gate: BOTH >= 0.8 — $gateMet).
+           |Paired per-trial ratios: ${effProse(effTrialsV)}.
            |
            |## Concurrent-on-one-box reality check (reported, not gated)
            |
            |The same job on REAL executor processes (Spark standalone
            |local-cluster), 1 vs $nExec executor JVMs of $execCores cores,
-           |both arms concurrent on this one box: per-trial
-           |${effProse(rawEffTrials)} -> median $rawEff%.3f; cleanest
-           |trial (lowest combined wall time, least exposed to this
-           |host's multi-minute noise episodes — a per-trial spread
+           |both arms concurrent on this one box ($rawTrialsRun trial(s)):
+           |per-trial ${effProse(rawEffTrialsV)} -> median $rawEff%.3f;
+           |cleanest trial (lowest combined wall time, least exposed to
+           |this host's multi-minute noise episodes — a per-trial spread
            |beyond ~2x means episodes landed on whole arms) =
            |$rawEffBest%.3f. The remaining gap to the gate figure is the
            |single box sharing one machine's resources across all $nExec
@@ -639,10 +715,10 @@ object Bench {
            || executor shape | best s | turns/s | per core |
            ||---|---|---|---|
            || 1 x local[$execCores] (idle box) | $fullBest%.2f | $thrSingle%.0f | ${thrSingle / execCores}%.0f |
-           || 1 x local[$cpus] | ${tFull.min}%.2f | $thrFull%.0f | ${thrFull / cpus}%.0f |
+           || 1 x local[$cpus] | ${tFullMinV.get}%.2f | $thrFull%.0f | ${thrFull / cpus}%.0f |
            |
-           |Per-core ratio ($cpus-core JVM vs $execCores-core JVM) =
-           |$sizeRatio%.3f. ${
+           |Per-core ratio ($cpus-core JVM vs $execCores-core JVM, best of
+           |$sizeTrialsRun) = $sizeRatio%.3f. ${
             if (sizeRatio < 0.95)
               s"One node-wide JVM loses per-core throughput to intra-JVM " +
                 s"and intra-box contention; deploy several $execCores-core " +
@@ -661,15 +737,15 @@ object Bench {
            |## Skew-handling (salted) path, local[$cpus]
            |
            |Salted repartition + secondary sort on the same input, best of
-           |$trials trials (a throughput capability claim, so the min is
-           |honest against one-sided noise): ${saltedSecs}%.2f s
+           |$saltedTrialsRun trial(s) (a throughput capability claim, so
+           |the min is honest against one-sided noise): ${saltedSecs}%.2f s
            |(${(totalTurns / saltedSecs).toLong} turns/s) — the cost of the
            |one permitted shuffle when the input layout is unknown or a
            |conversation is pathologically large.
            |
            |Reference implied throughput: ~0.2-0.5 docs/s (single-threaded,
            |RPC-bound — BASELINE.md); this engine: ${thrFull.toLong} turns/s
-           |in one $cpus-core JVM on this box (best of $rawTrials).
+           |in one $cpus-core JVM on this box.
            |
            |## Catalog queries (sf dir: $sfDir, local[$cpus], best-of-2 seconds)
            |
@@ -678,6 +754,8 @@ object Bench {
           .mkString("| query | sec |\n|---|---|\n", "\n", "\n")
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH/BASELINE.md refresh failed: $e")
+    }
   }
 }
