@@ -118,6 +118,35 @@ object PipelineQueries {
       .join(items.select(col("id").as("id_b"), col("p").as("p_b")), Seq("id_b"))
   }
 
+  /** Unbounded scale-probe variants of the id-bounded catalog entries
+    * (the bounds exist to keep the DuckDB oracle's per-shingle hash cost
+    * sane, not for the operator). Not oracle-gated — the catalog rows pin
+    * the semantics; [[graft.ScaleProbe]] runs these over 1x/10x/100x
+    * corpora as direct linearity evidence for the 100x claims.
+    */
+  private[graft] val scaleProbes: Seq[(String, Q.Fn)] = Seq(
+    "sp_minhash_sig_all" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      rd(s, d, "documents")
+        .select($"doc_id", minHashSig(tokens($"text"), 6).as("sig"))
+    }),
+    "sp_simhash_all" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      rd(s, d, "documents")
+        .select($"doc_id", simHash(tokens($"text")).as("simhash"))
+    }),
+    // dd_minhash_lsh without the doc_id bound: shingle -> minhash ->
+    // band -> capped bucket join -> exact-Jaccard verify, whole corpus
+    "sp_minhash_lsh_all" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val items = rd(s, d, "documents")
+        .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+      bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
+        .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
+        .filter($"jac" >= 0.4)
+        .select($"id_a", $"id_b", $"jac")
+    }))
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---------------- Deduplication ----------------
