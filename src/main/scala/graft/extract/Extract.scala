@@ -62,8 +62,13 @@ object Extract {
     text.contains("<html") || text.contains("<body") || text.contains("<div") ||
       text.contains("<p>") || text.contains("</a>")
 
+  // hoisted: String.replaceAll/split compile their pattern on EVERY call,
+  // and stripTags runs once per anchor plus once per block of every HTML
+  // turn (~17% of the generator mix) — measured 52 us per HTML turn before
+  private val wsRun = Pattern.compile("\\s+")
+
   private def stripTags(s: String): String =
-    tagPattern.matcher(s).replaceAll(" ").replaceAll("\\s+", " ").trim
+    wsRun.matcher(tagPattern.matcher(s).replaceAll(" ")).replaceAll(" ").trim
 
   /** Keep blocks whose link density < 0.35 and word count >= 5; join kept
     * block texts with '\n'. Link density = chars inside <a> / total text
@@ -79,7 +84,7 @@ object Extract {
       val txt = stripTags(raw)
       if (txt.isEmpty) None
       else {
-        val words = txt.split("\\s+").count(_.nonEmpty)
+        val words = wsRun.split(txt).count(_.nonEmpty)
         val linkDensity =
           if (txt.length == 0) 0.0 else linkChars.toDouble / txt.length
         if (linkDensity < 0.35 && words >= 5) Some(txt) else None
@@ -187,8 +192,13 @@ object Extract {
   def classifyWithFilename(key: String, text: String): String =
     classifyFilename(key).getOrElse(classify(text))
 
-  def classify(text: String): String = {
-    val low = text.toLowerCase
+  def classify(text: String): String = classifyLow(text.toLowerCase)
+
+  /** classify() body over an already-lowercased text: the fused extractor
+    * lowercases each turn once and shares the copy across the classifier,
+    * the signature detector, and the bank guards.
+    */
+  def classifyLow(low: String): String = {
     val fs = keywordScore(low, facesheetKeywords)
     val ins = keywordScore(low, insuranceKeywords)
     val rx = keywordScore(low, prescriptionKeywords)
@@ -256,10 +266,19 @@ object Extract {
   def kvAnchors(text: String): Vector[(String, String)] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (line <- text.split("\n", -1)) {
-      val m = kvLine.matcher(line)
-      if (m.matches()) {
-        val k = normalizeKey(m.group(1))
-        if (k.nonEmpty && !seen.contains(k)) seen += k -> m.group(2).trim
+      // necessary conditions of kvLine, checked without the regex engine:
+      // the key starts with an ASCII letter ("^([A-Za-z]...") and a colon
+      // must appear within the first 50 key chars plus whitespace — most
+      // non-KV lines exit here (measured 11.9 us/turn -> the regex now
+      // runs only on candidate lines)
+      val c0 = if (line.isEmpty) ' ' else line.charAt(0)
+      val isLetter = (c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z')
+      if (isLetter && line.indexOf(':') > 0) {
+        val m = kvLine.matcher(line)
+        if (m.matches()) {
+          val k = normalizeKey(m.group(1))
+          if (k.nonEmpty && !seen.contains(k)) seen += k -> m.group(2).trim
+        }
       }
     }
     seen.toVector
@@ -327,6 +346,9 @@ object Extract {
     "(?i)breast\\s+pump.{0,40}?double\\s+electric",
     "(?i)E0603",
     "(?i)pump\\s+depot").map(p)
+  // one necessary literal per pump pattern, in the same order — the bank
+  // probes `low.contains(guard)` before running the corresponding regex
+  private val pumpGuards = Vector("double", "breast", "e0603", "pump")
   // P9/P10 name helpers
   private val physicianNpi =
     p("(?i)Physicians?\\s*Name\\s*:\\s*([^\\n-]+?)\\s*(?:,\\s*MD)?\\s*-\\s*(\\d{6,10})")
@@ -368,51 +390,90 @@ object Extract {
     }
   }
 
-  /** Tail window (P6/O2): last n lines of the text. */
+  /** Tail window (P6/O2): last n lines of the text. Reverse scan for the
+    * nth newline from the end — identical to
+    * `split("\n", -1).takeRight(n).mkString("\n")` without materializing
+    * every line (split(-1) keeps trailing empties, so the joined tail is
+    * always a contiguous suffix of the input).
+    */
   def lastLines(text: String, n: Int): String = {
-    val lines = text.split("\n", -1)
-    lines.takeRight(n).mkString("\n")
+    if (n <= 0) return ""
+    var count = 0
+    var i = text.length - 1
+    while (i >= 0) {
+      if (text.charAt(i) == '\n') {
+        count += 1
+        if (count == n) return text.substring(i + 1)
+      }
+      i -= 1
+    }
+    text
   }
 
   // -------------------------------------------------------------------------
   // Per-type field banks. Each returns fields in canonical-name space.
   // -------------------------------------------------------------------------
-  def facesheetBank(text: String): Map[String, String] = {
+  def facesheetBank(text: String): Map[String, String] =
+    facesheetBank(text, text.toLowerCase)
+
+  /** Guarded fast path: `low` MUST be `text.toLowerCase`. Each guard is a
+    * necessary condition of its pattern (a literal the regex cannot match
+    * without), so a skipped regex could never have matched — measured: the
+    * banks dominated the 47 us/turn extract cost, and most patterns lose
+    * their anchor literal on most turns of their doc type.
+    */
+  private def facesheetBank(text: String, low: String): Map[String, String] = {
     val b = Map.newBuilder[String, String]
-    firstMatch(patientName, text).foreach { v =>
+    if (low.contains("name")) firstMatch(patientName, text).foreach { v =>
       b += "patient_name" -> v
       val (f, l) = splitName(v)
       b += "patient_first_name" -> f
       b += "patient_last_name" -> l
     }
-    firstMatch(patientDob, text).foreach(b += "patient_dob" -> _)
-    firstMatch(patientPhone, text).foreach(b += "patient_phone" -> _)
+    if (low.contains("dob") || low.contains("date of birth"))
+      firstMatch(patientDob, text).foreach(b += "patient_dob" -> _)
+    if (low.contains("phone"))
+      firstMatch(patientPhone, text).foreach(b += "patient_phone" -> _)
     b.result()
   }
 
-  def prescriptionBank(text: String): Map[String, String] = {
+  def prescriptionBank(text: String): Map[String, String] =
+    prescriptionBank(text, text.toLowerCase)
+
+  private def prescriptionBank(text: String, low: String): Map[String, String] = {
     val b = Map.newBuilder[String, String]
-    firstMatch(patientName, text).foreach(b += "patient_name" -> _)
-    firstMatch(patientDob, text).foreach(b += "patient_dob" -> _)
-    val icd = firstMatch(icdBullet, text)
-      .orElse(firstMatch(icdPlain, text))
-      .orElse(firstMatch(icdGeneric, text))
+    if (low.contains("name"))
+      firstMatch(patientName, text).foreach(b += "patient_name" -> _)
+    if (low.contains("dob") || low.contains("date of birth"))
+      firstMatch(patientDob, text).foreach(b += "patient_dob" -> _)
+    val icd =
+      (if (low.contains("icd-10"))
+        firstMatch(icdBullet, text).orElse(firstMatch(icdPlain, text))
+      else None).orElse(firstMatch(icdGeneric, text))
     icd.foreach(b += "icd10" -> _)
-    val items = checkboxItems(text)
-    if (items.nonEmpty) b += "necessity_items" -> items.mkString("; ")
-    val tri = qtyTriGroup.matcher(text)
-    if (tri.find()) {
-      b += "qty" -> tri.group(1).trim
-      b += "item_description" -> tri.group(2).trim
-      b += "item_code" -> tri.group(3).trim
+    if (low.contains("medical necessity")) {
+      val items = checkboxItems(text)
+      if (items.nonEmpty) b += "necessity_items" -> items.mkString("; ")
     }
-    firstMatch(lengthOfNeed, text).foreach(b += "length_of_need" -> _)
-    if (pumpPatterns.exists(_.matcher(text).find()))
+    if (text.contains("QTY")) { // qtyTriGroup is deliberately case-sensitive
+      val tri = qtyTriGroup.matcher(text)
+      if (tri.find()) {
+        b += "qty" -> tri.group(1).trim
+        b += "item_description" -> tri.group(2).trim
+        b += "item_code" -> tri.group(3).trim
+      }
+    }
+    if (low.contains("length of need"))
+      firstMatch(lengthOfNeed, text).foreach(b += "length_of_need" -> _)
+    if (pumpPatterns.zip(pumpGuards).exists { case (pt, g) =>
+        low.contains(g) && pt.matcher(text).find() })
       b += "pump_type" -> "Double Electric Breast Pump"
-    val phys = physicianNpi.matcher(text)
-    if (phys.find()) {
-      b += "physician_name" -> phys.group(1).trim
-      b += "physician_npi" -> phys.group(2).trim
+    if (low.contains("physician")) {
+      val phys = physicianNpi.matcher(text)
+      if (phys.find()) {
+        b += "physician_name" -> phys.group(1).trim
+        b += "physician_npi" -> phys.group(2).trim
+      }
     }
     b.result()
   }
@@ -421,23 +482,33 @@ object Extract {
     // Reference applies the agreement bank to the last-15-lines window
     // (SignedAgreementFinalDB:146-148).
     val tail = lastLines(text, 15)
+    val tailLow = tail.toLowerCase
     val b = Map.newBuilder[String, String]
-    firstMatch(signedBy, tail).filter(validName).foreach { v =>
-      b += "signed_by" -> v
-    }
-    val date = firstMatch(dateTimeFull, tail)
-      .orElse(firstMatch(dateAnchored, tail))
-      .orElse(firstMatch(dateBare, tail))
-    date.foreach(b += "signed_date" -> _)
+    if (tailLow.contains("signed by customer") ||
+        tailLow.contains("firmado por el cliente"))
+      firstMatch(signedBy, tail).filter(validName).foreach { v =>
+        b += "signed_by" -> v
+      }
+    val anchoredDate =
+      if (tailLow.contains("date") || tailLow.contains("fecha"))
+        firstMatch(dateTimeFull, tail).orElse(firstMatch(dateAnchored, tail))
+      else None
+    anchoredDate.orElse(firstMatch(dateBare, tail))
+      .foreach(b += "signed_date" -> _)
     b.result()
   }
 
-  def insuranceBank(text: String): Map[String, String] = {
+  def insuranceBank(text: String): Map[String, String] =
+    insuranceBank(text, text.toLowerCase)
+
+  private def insuranceBank(text: String, low: String): Map[String, String] = {
     val b = Map.newBuilder[String, String]
-    val m = memberNameId.matcher(text)
-    if (m.find()) {
-      b += "member_name" -> m.group(1).trim
-      b += "member_id" -> m.group(2).trim
+    if (low.contains("member")) {
+      val m = memberNameId.matcher(text)
+      if (m.find()) {
+        b += "member_name" -> m.group(1).trim
+        b += "member_id" -> m.group(2).trim
+      }
     }
     b.result()
   }
@@ -731,8 +802,11 @@ object Extract {
   // `detect_signature` methods 3 ("signature"/"signed"//s/) and the
   // "Signed by customer:" implication.
   // -------------------------------------------------------------------------
-  def detectSignature(text: String): Boolean = {
-    val low = text.toLowerCase
+  def detectSignature(text: String): Boolean =
+    detectSignatureLow(text.toLowerCase)
+
+  /** detectSignature() over an already-lowercased text (see classifyLow). */
+  def detectSignatureLow(low: String): Boolean = {
     low.contains("/s/") || low.contains("signed by customer") ||
     low.contains("firmado por el cliente") || low.contains("signature:") ||
     (low.contains("signature") && low.contains("signed"))
@@ -851,16 +925,19 @@ object Extract {
     try {
       val stripped = extractText(text)
       val sections = segment(stripped)
-      val docType = classify(stripped)
+      // one lowercase copy per turn, shared by the classifier, the
+      // signature detector, and the bank pattern guards
+      val low = stripped.toLowerCase
+      val docType = classifyLow(low)
       val anchors = kvAnchors(stripped).toMap
       // Substring routing like the reference's `"PRESCRIPTION" in
       // doc_type` / `"AGREEMENT" in doc_type` dispatch: POSSIBLE_* tiers
       // run the same bank as their confident counterparts.
       val bank =
-        if (docType == "FACESHEET") facesheetBank(stripped)
-        else if (docType.contains("PRESCRIPTION")) prescriptionBank(stripped)
+        if (docType == "FACESHEET") facesheetBank(stripped, low)
+        else if (docType.contains("PRESCRIPTION")) prescriptionBank(stripped, low)
         else if (docType.contains("AGREEMENT")) agreementBank(stripped)
-        else if (docType == "INSURANCE") insuranceBank(stripped)
+        else if (docType == "INSURANCE") insuranceBank(stripped, low)
         else Map.empty[String, String]
       // Merge precedence: pattern-bank result beats KV anchor (§3.3).
       val fields = anchors ++ bank
@@ -870,7 +947,7 @@ object Extract {
       val fieldSrc = fields.map { case (k, _) =>
         k -> (if (bank.contains(k)) "pattern" else "anchor")
       }
-      val sig = detectSignature(stripped)
+      val sig = detectSignatureLow(low)
       val conf =
         if (docType.contains("AGREEMENT")) confidenceA2(bank, sig)
         else confidenceA1(fields)
