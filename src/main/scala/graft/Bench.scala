@@ -486,14 +486,20 @@ object Bench {
       thrSingleV = Some(totalTurns / tFullArm.min)
       thr4NEmuV = Some(totalTurns / shareBestV.max)
     }
-    // leave room after the gate for one raw-cluster trial, one full-JVM
-    // run and one salted run (estimated from the measured full arm)
     def fullArmEst: Double = fullBestV.getOrElse(150.0)
-    def postGateReserve: Double = fullArmEst * 1.5 + fullArmEst * 0.6 + 30 + 60
+    // GATE TRIALS TAKE PRECEDENCE over the post-gate reported sections
+    // (pre-registered, BASELINE.md acceptance table): both gate estimators
+    // get strictly more robust with more trials (the per-arm minima
+    // converge; the paired median tolerates more noise-hit trials), while
+    // executor-size / raw-cluster are diagnostics that degrade gracefully
+    // into budget_cut entries. A further trial therefore only reserves the
+    // salted section's floor (the cheapest post-gate claim), not the full
+    // post-gate schedule.
+    val gateFloorReserve = 70.0
     var lastTrialCost = 0.0
     while (gateTrialsRun < trialsMax &&
         (gateTrialsRun < 2 ||
-          remainingS > lastTrialCost * 1.15 + postGateReserve)) {
+          remainingS > lastTrialCost * 1.15 + gateFloorReserve)) {
       val i = gateTrialsRun + 1
       val w0 = System.nanoTime()
       val f = pinnedTrial(tableDir, s"$benchBase/gateFull", execCores,

@@ -134,7 +134,7 @@ object ScaleProbe {
 
     val fmax = factors.max
     val md = new StringBuilder
-    md.append("# Scale rehearsal: 1x / 10x / 100x of sf0.1 (measured)\n\n")
+    md.append(s"# Scale rehearsal: ${factors.map(f => s"${f}x").mkString(" / ")} of sf0.1 (measured)\n\n")
       .append(s"Corpus: the $base documents table scaled by copy (each base doc\n")
       .append("becomes a near-dup clique of `factor` members — the template-heavy\n")
       .append("regime the banded-LSH bucket cap exists for); embeddings scaled by\n")
@@ -152,11 +152,12 @@ object ScaleProbe {
       val r = ratio(n, fmax).map(r => f"$r%.1f").getOrElse("-")
       md.append(s"| $n | ${cells.mkString(" | ")} | $r |\n")
     }
-    md.append("\nsp_minhash_lsh_all is measured to 10x only: its exact-Jaccard\n")
-      .append("verify costs ~|shingle set| (~10^3) per candidate pair, so while the\n")
-      .append("capped candidate COUNT stays O(n*cap), the probe's wall time at 100x\n")
-      .append("exceeds a sane budget; dd_ngram_jaccard (bucket-min topology — the\n")
-      .append("dedup-proper scale path) carries the 100x point instead.\n")
+    if (factors.exists(f => f >= 100 && skipAt100.nonEmpty))
+      md.append("\nsp_minhash_lsh_all is measured to 10x only: its exact-Jaccard\n")
+        .append("verify costs ~|shingle set| (~10^3) per candidate pair, so while the\n")
+        .append("capped candidate COUNT stays O(n*cap), the probe's wall time at 100x\n")
+        .append("exceeds a sane budget; dd_ngram_jaccard (bucket-min topology — the\n")
+        .append("dedup-proper scale path) carries the 100x point instead.\n")
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/SCALE10X.md"), md.result())
     spark.stop()

@@ -297,6 +297,49 @@ object PipelineQueries {
               |            CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) >= 0.4
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // near-dup CLUSTERING: transitive closure over the verified LSH
+    // candidate pairs (the same chain as dd_minhash_lsh), because
+    // near-dup is not pairwise-transitive — "keep one doc per cluster"
+    // needs components, not pairs. Spark side: GraphOps.connectedComponents
+    // (min-label propagation, one shuffle join per round, rounds = clique
+    // diameter, lineage truncated per round). Oracle: the same edge set
+    // fed to a recursive CTE — min reachable id per vertex IS the
+    // component representative, so the distributed fixpoint is gated
+    // against an exact sequential closure.
+    "dd_cluster_cc" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val items = rd(s, d, "documents").filter($"doc_id" < 200)
+          .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+        val edges = bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
+          .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
+          .filter($"jac" >= 0.4)
+          .select($"id_a", $"id_b")
+        GraphOps.connectedComponents(items.select($"id"), edges)
+          .orderBy($"id")
+      },
+      Some(s"""WITH RECURSIVE
+              |t AS (SELECT doc_id, $sqlShingles AS toks
+              |      FROM documents WHERE doc_id < 200),
+              |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
+              |allbands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |bands AS (SELECT doc_id, band FROM allbands
+              |          QUALIFY row_number() OVER (PARTITION BY band ORDER BY doc_id) <= $BandBucketCap),
+              |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |edges AS (SELECT id_a, id_b
+              |          FROM (SELECT id_a, id_b, ta.toks AS toks_a, tb.toks AS toks_b
+              |                FROM ids JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+              |          WHERE round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+              |                      CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) >= 0.4),
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+              |        UNION SELECT id_b, id_a FROM edges),
+              |reach(id, comp) AS (
+              |  SELECT doc_id, doc_id FROM t
+              |  UNION
+              |  SELECT s.src, r.comp FROM sym s JOIN reach r ON r.id = s.dst)
+              |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // embedding-cosine near-dup pairs within label blocks — the EXACT
     // baseline, explicitly scope-capped at 500 vectors: at cos >= 0.35
     // (nearly-orthogonal vectors) no LSH family prunes with high recall,
@@ -614,6 +657,73 @@ object PipelineQueries {
              |  count(*) AS n_docs,
              |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin)),
+
+    // deterministic stratified subsampling: keep ~4/16 of each source
+    // stratum by a CONTENT hash nibble — the reproducible corpus
+    // downsampling a 100 TB pipeline runs (no RNG, no driver state, no
+    // seed coordination across executors; re-running selects the same
+    // rows, and the per-stratum rate is uniform by hash mixing). Output
+    // is the per-source balance audit: total vs sampled vs rate.
+    "ta_hash_sample" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val keep = substring(md5($"text"), 1, 1).isin("0", "1", "2", "3")
+        rd(s, d, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(keep, lit(1))).as("n_sampled"))
+          .withColumn("rate", round($"n_sampled" / $"n_total", 4))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_total,
+             |  count(CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3')
+             |             THEN 1 END) AS n_sampled,
+             |  round(CAST(count(CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3')
+             |                        THEN 1 END) AS DOUBLE) / count(*), 4) AS rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // sequence packing (concat-and-split): assign every doc its token
+    // OFFSET in the per-source concatenated stream and the 2048-token
+    // bin it starts in — the standard LLM-pretraining packing layout.
+    // The naive plan is one window per source (a single partition per
+    // stream — the whole corpus of a source through one task at 100 TB),
+    // so the cumsum is TWO-PHASE instead: a parallel within-bucket
+    // running sum over (source, doc_id/1000) buckets, then the tiny
+    // bucket-total summary (3 orders of magnitude fewer rows) goes
+    // through the per-source prefix window, and a join adds the bucket
+    // base back. Same total order, scalable parallelism.
+    "ta_pack_sequences" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val t = rd(s, d, "documents")
+          .select($"doc_id", $"source", wsTokenCount($"text").as("ws_tokens"),
+            ($"doc_id" / 1000).cast("long").as("bkt"))
+        val wB = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
+        val inBkt = t.withColumn("run_in_bkt",
+          sum($"ws_tokens".cast("long")).over(wB))
+        val wT = Window.partitionBy($"source").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktBase = inBkt.groupBy($"source", $"bkt")
+          .agg(max($"run_in_bkt").as("bkt_total"))
+          .withColumn("base", coalesce(sum($"bkt_total").over(wT), lit(0L)))
+          .select($"source", $"bkt", $"base")
+        inBkt.join(bktBase, Seq("source", "bkt"))
+          .withColumn("offset", $"base" + $"run_in_bkt" - $"ws_tokens")
+          .withColumn("bin", floor($"offset" / 2048))
+          .select($"doc_id", $"source", $"ws_tokens", $"offset", $"bin")
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |  len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS ws_tokens
+             |  FROM documents),
+             |o AS (SELECT doc_id, source, ws_tokens,
+             |  CAST(COALESCE(SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+             |  FROM t)
+             |SELECT doc_id, source, ws_tokens, "offset",
+             |  CAST(FLOOR("offset" / 2048) AS BIGINT) AS bin
+             |FROM o ORDER BY source, doc_id""".stripMargin)),
 
     // rolling-hash document fingerprint (first 64 chars)
     "ta_fingerprint" -> Entry(
