@@ -111,7 +111,23 @@ object TextFunctions {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity, backed by the native codegen'd expression
+    * (graft.plans.CosineSimExpr): the same sequential-fold double math as
+    * the HOF form below, at compiled-loop speed and without breaking the
+    * surrounding whole-stage-codegen span (zip_with/aggregate have no
+    * codegen — the embedding queries pay one interpreted cosine per
+    * candidate pair on the old path).
+    */
   def cosine(aF: Column, bF: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.CosineSimExpr(
+      GraftColumnBridge.expression(aF), GraftColumnBridge.expression(bF)))
+  }
+
+  /** The original higher-order-function cosine — kept (non-public API) as
+    * the executable spec the native expression is asserted bit-equal to.
+    */
+  private[graft] def cosineHof(aF: Column, bF: Column): Column = {
     val a = toDouble(aF); val b = toDouble(bF)
     dot(a, b) / (l2norm(a) * l2norm(b))
   }
@@ -150,6 +166,27 @@ object TextFunctions {
     array(bandPlanes.zipWithIndex.map { case (planes, b) =>
       concat(lit(s"$b-"), lshBucket(vecF, planes))
     }: _*)
+
+  /** Native codegen'd forms of [[lshBucket]] / [[lshBucketBands]]: the
+    * hyperplanes are regenerated inside the expression from the same
+    * (count, dim, seed) primitives, so the keys are identical to the HOF
+    * forms over `hyperplanes(nPlanes, dim, seed)` — asserted bit-equal in
+    * VecExprsSpec — while the 32 plane dot products per row run as one
+    * compiled loop instead of 32 interpreted `aggregate` folds.
+    */
+  def lshBucketNative(vecF: Column, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.HyperplaneBucketExpr(
+      GraftColumnBridge.expression(vecF), nPlanes, dim, seed))
+  }
+
+  def lshBucketBandsNative(vecF: Column, bands: Int, rowsPerBand: Int,
+      dim: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.HyperplaneBandsExpr(
+      GraftColumnBridge.expression(vecF), bands, rowsPerBand, dim, seed))
+  }
 
   // ---------------------------------------------------------------------
   // Text-analysis metrics (training-data pipeline operators).

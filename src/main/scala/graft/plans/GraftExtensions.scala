@@ -51,5 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(es.size == 1, "usage: simhash(tokens)")
         SimHashExpr(es.head)
       }))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSimExpr]),
+      (es: Seq[Expression]) => {
+        require(es.size == 2, "usage: cosine_sim(vec_a, vec_b)")
+        CosineSimExpr(es(0), es(1))
+      }))
   }
 }

@@ -52,16 +52,22 @@ object GraphOps {
     while (!converged && iter < maxIter) {
       val viaEdges = sym
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(col("src").as("id"), col("comp"),
+          lit(null).cast(vertices.schema("id").dataType).as("prev"))
+      // the vertex's previous label rides through the SAME aggregation as
+      // its new label (min ignores the neighbor rows' null prev), so the
+      // convergence test is a scan of the checkpointed round output — no
+      // extra shuffle join per round
+      val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .unionByName(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
         .localCheckpoint(true)
       // converged when no vertex improved its label this round; the
       // count is a driver-side scalar per round, not a data collect
-      val improved = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev")).limit(1).count()
+      val improved = next.filter(col("comp") < col("prev")).limit(1).count()
       converged = improved == 0L
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     labels

@@ -102,21 +102,23 @@ object PipelineQueries {
     * PlanSpec), not recomputed per side — the band keys (e.g. 32 dot
     * products/row for hyperplane LSH) are evaluated once.
     */
-  private def bandedPairs(items: DataFrame, bands: Column): DataFrame = {
+  private def bandedIdPairs(items: DataFrame, bands: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = items.select(explode(bands).as("band"), col("id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band")).orderBy(col("id"))))
       .filter(col("rn") <= BandBucketCap)
       .select(col("band"), col("id"))
-    val ids = banded.select(col("band"), col("id").as("id_a"))
+    banded.select(col("band"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    ids
+  }
+
+  private def bandedPairs(items: DataFrame, bands: Column): DataFrame =
+    bandedIdPairs(items, bands)
       .join(items.select(col("id").as("id_a"), col("p").as("p_a")), Seq("id_a"))
       .join(items.select(col("id").as("id_b"), col("p").as("p_b")), Seq("id_b"))
-  }
 
   /** Unbounded scale-probe variants of the id-bounded catalog entries
     * (the bounds exist to keep the DuckDB oracle's per-shingle hash cost
@@ -145,6 +147,19 @@ object PipelineQueries {
         .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
         .filter($"jac" >= 0.4)
         .select($"id_a", $"id_b", $"jac")
+    }),
+    // connected components over the capped band-candidate edges, whole
+    // corpus — the CC fixpoint's own scaling, isolated from the per-pair
+    // exact-verify cost (the bare-id candidate stage shuffles no
+    // payloads). On the scaled corpora each base doc's `factor`-member
+    // clique is one component, so rounds stay at the clique diameter
+    // (1-2 band hops) while edge count is bounded by O(n·cap).
+    "sp_cluster_cc_all" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val items = rd(s, d, "documents")
+        .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+      val edges = bandedIdPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
+      GraphOps.connectedComponents(items.select($"id"), edges)
     }))
 
   val entries: Seq[(String, Entry)] = Seq(
@@ -380,7 +395,6 @@ object PipelineQueries {
     "dd_embedding_lsh" -> Entry(
       (s, d) => {
         import s.implicits._
-        val bp = hyperplaneBands(4, 8, 64)
         val e = rd(s, d, "embeddings")
         val pert = transform($"embedding", (x, i) =>
           x * (lit(1.0) + (pmod(i, lit(5)) - lit(2)).cast("double") * lit(0.004)))
@@ -388,7 +402,7 @@ object PipelineQueries {
         // vec_id + 100000 would COLLIDE with real ids on a 100k+ table
         val corpus = e.select($"vec_id".as("id"), toDouble($"embedding").as("p"))
           .unionByName(e.select(($"vec_id" + lit(1000000000000L)).as("id"), pert.as("p")))
-        bandedPairs(corpus, lshBucketBands(col("p"), bp))
+        bandedPairs(corpus, lshBucketBandsNative(col("p"), 4, 8, 64))
           .withColumn("cos", round(cosine($"p_a", $"p_b"), 6))
           .filter($"cos" >= 0.999)
           .select($"id_a", $"id_b", $"cos")
@@ -483,9 +497,8 @@ object PipelineQueries {
     "sim_lsh_ann" -> Entry(
       (s, d) => {
         import s.implicits._
-        val planes = hyperplanes(4, 64)
         val e = rd(s, d, "embeddings")
-          .withColumn("bucket", lshBucket($"embedding", planes))
+          .withColumn("bucket", lshBucketNative($"embedding", 4, 64))
         val q = e.filter($"vec_id" < 20)
           .select($"vec_id".as("q_id"), $"bucket", $"embedding".as("q_v"))
         val c = e.select($"vec_id".as("n_id"), $"bucket", $"embedding".as("n_v"))

@@ -56,6 +56,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[scala.collection.Seq[Long]]("mh").toSeq == wantMh)
   }
 
+  test("spark.sql.extensions registers cosine_sim for SQL") {
+    val row = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same, " +
+        "cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth, " +
+        "cosine_sim(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS zero").head()
+    assert(row.getAs[Double]("same") == 1.0)
+    assert(row.getAs[Double]("orth") == 0.0)
+    assert(row.isNullAt(row.fieldIndex("zero"))) // zero norm -> null, like Divide
+    intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0D))").head())
+  }
+
   test("argument validation: wrong arity / non-literal k fail at analysis") {
     intercept[Exception](spark.sql("SELECT extract_turn('a','b')").head())
     intercept[Exception](spark.sql("SELECT minhash_sig(array('a'))").head())
