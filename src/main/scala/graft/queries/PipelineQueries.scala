@@ -525,6 +525,102 @@ object PipelineQueries {
            |ORDER BY q_id, rank""".stripMargin
       }),
 
+    // true IVF ANN: a coarse quantizer of nlist=8 centroid vectors
+    // partitions the corpus into inverted lists ROW-LOCALLY (argmax over
+    // 8 centroid cosines — no shuffle on the corpus side, unlike a
+    // window-based assignment), queries probe their nprobe=2 nearest
+    // lists, exact rank inside the probed lists only. The centroids
+    // stand in for an offline k-means artifact (vec_id 0..7,
+    // deterministic): the operator under test is the inverted-list probe
+    // topology, not centroid training. The 8x64-double quantizer is
+    // collected as the MODEL and broadcast by value into the row-local
+    // scorer — a trained-artifact fetch, not a data collect. Cosines are
+    // rounded to 6dp BEFORE every comparison (assignment, probe choice,
+    // final rank) with cid/n_id tiebreaks, so the approximate structure
+    // itself is portable and the oracle reproduces it exactly.
+    "sim_topk_ivf" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val e = rd(s, d, "embeddings")
+          .select($"vec_id", toDouble($"embedding").as("v"))
+        val cents: Seq[(Int, Seq[Double])] = e.filter($"vec_id" < 8)
+          .orderBy($"vec_id").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toIndexedSeq))
+          .toSeq
+        // array of (rounded cosine, -cid) structs: max picks highest
+        // cosine, smallest cid on ties; sort+reverse gives the probe order
+        def centScores(v: Column): Column = array(cents.map { case (cid, cv) =>
+          struct(round(cosine(v, typedLit(cv)), 6).as("c"),
+            lit(-cid).as("negcid"))
+        }: _*)
+        val corpus = e.withColumn("best", array_max(centScores($"v")))
+          .select($"vec_id".as("n_id"), (-$"best.negcid").as("cid"),
+            $"v".as("n_v"))
+        val q = e.filter($"vec_id" < 20)
+          .withColumn("probes", slice(reverse(array_sort(centScores($"v"))), 1, 2))
+          .select($"vec_id".as("q_id"), $"v".as("q_v"),
+            explode(transform($"probes", p => -p.getField("negcid"))).as("cid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+        corpus.join(broadcast(q), Seq("cid")).filter($"n_id" =!= $"q_id")
+          .withColumn("cos", round(cosine($"q_v", $"n_v"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"n_id", $"cos")
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+             |  FROM e CROSS JOIN cent c),
+             |asg AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+             |probe AS (SELECT vec_id AS q_id, cid FROM scored
+             |          WHERE vec_id < 20 AND rn <= 2),
+             |s AS (SELECT p.q_id, a.vec_id AS n_id,
+             |        round(list_cosine_similarity(qe.v, ne.v), 6) AS cos
+             |      FROM probe p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q_id
+             |      JOIN e qe ON qe.vec_id = p.q_id
+             |      JOIN e ne ON ne.vec_id = a.vec_id)
+             |SELECT q_id, rank, n_id, cos FROM (
+             |  SELECT q_id, n_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+             |  FROM s) WHERE rank <= 3
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // per-vector symmetric int8 quantization (the 4x storage/IO shrink a
+    // 100 TB embedding store runs before ANN): scale = max|x|/127,
+    // q_i = round(x_i/scale) — entirely row-local, one pass, no shuffle.
+    // Output is the audit: the quantized vector, its scale, and the max
+    // reconstruction error. All math is double with explicit rounding at
+    // 6dp; the zero-vector guard is mirrored (Spark doubles divide to
+    // NaN/Inf where DuckDB yields NULL, so neither side may divide).
+    "emb_quantize_int8" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val e = rd(s, d, "embeddings")
+          .select($"vec_id", toDouble($"embedding").as("v"))
+          .withColumn("scale",
+            array_max(transform($"v", x => abs(x))) / lit(127.0))
+        e.withColumn("q", when($"scale" > 0.0,
+            transform($"v", x => round(x / $"scale").cast("int"))))
+          .withColumn("max_err", when($"scale" > 0.0, round(
+            array_max(zip_with($"v", $"q",
+              (x, qi) => abs(x - qi.cast("double") * $"scale"))), 6)))
+          .select($"vec_id", round($"scale", 6).as("scale_r"), $"q", $"max_err")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale FROM e)
+             |SELECT vec_id, round(scale, 6) AS scale_r,
+             |  CASE WHEN scale > 0 THEN
+             |    list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS q,
+             |  CASE WHEN scale > 0 THEN round(list_max(list_transform(v, x ->
+             |    abs(x - CAST(CAST(round(x / scale) AS INTEGER) AS DOUBLE) * scale))), 6) END AS max_err
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
     // batched multimodal decode (stubbed decoder, real plumbing):
     // binary payload -> mapPartitions grouped batches -> feature vectors.
     // The stub is deterministic double math over the UTF-8 bytes, so the
@@ -737,6 +833,53 @@ object PipelineQueries {
              |SELECT doc_id, source, ws_tokens, "offset",
              |  CAST(FLOOR("offset" / 2048) AS BIGINT) AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
+
+    // corpus-trained character-bigram typicality score — the train-then-
+    // score shape of LM-based quality filtering: pass 1 aggregates the
+    // corpus's bigram occurrence counts (one shuffle over a ~1k-key
+    // space with map-side combine) and keeps the top-200 (count desc,
+    // bigram asc — deterministic at the cut) as the MODEL; pass 2 scores
+    // every doc ROW-LOCALLY as the fraction of its bigram occurrences
+    // that are in-model (isin over 200 literals compiles to a hashed
+    // InSet — no join, no shuffle). All-integer counting, so the score
+    // is an exact rational both engines round identically. The 200-string
+    // model is collected and broadcast by value — a trained-artifact
+    // fetch, not a data collect. Text is normalized to printable ASCII
+    // (cross-engine lower()/substr parity) and capped at 400 chars.
+    "ta_bigram_typicality" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val txt = lower(substring(regexp_replace($"text", "[^ -~]", ""), 1, 400))
+        val docs = rd(s, d, "documents").select($"doc_id", txt.as("t"))
+          .withColumn("bgs", when(length($"t") >= 2,
+            transform(sequence(lit(1), length($"t") - 1),
+              i => $"t".substr(i, lit(2))))
+            .otherwise(array().cast("array<string>")))
+        val model: Seq[String] = docs.select(explode($"bgs").as("b"))
+          .groupBy($"b").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"b").limit(200)
+          .collect().map(_.getString(0)).toSeq
+        docs.select($"doc_id", size($"bgs").as("n_bg"),
+            size(filter($"bgs", b => b.isin(model: _*))).as("n_hit"))
+          .withColumn("score", when($"n_bg" > 0, round($"n_hit" / $"n_bg", 6)))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  lower(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 400)) AS t
+             |  FROM documents),
+             |bg AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, length(t) - 1),
+             |                          i -> substr(t, i, 2))) AS b
+             |  FROM t WHERE length(t) >= 2),
+             |model AS (SELECT b FROM bg GROUP BY b ORDER BY count(*) DESC, b LIMIT 200),
+             |hits AS (SELECT doc_id, count(*) AS n_hit FROM bg JOIN model USING (b)
+             |         GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CASE WHEN length(t) >= 2 THEN length(t) - 1 ELSE 0 END AS n_bg,
+             |  COALESCE(n_hit, 0) AS n_hit,
+             |  CASE WHEN length(t) >= 2 THEN
+             |    round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / (length(t) - 1), 6) END AS score
+             |FROM t LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // rolling-hash document fingerprint (first 64 chars)
     "ta_fingerprint" -> Entry(
