@@ -81,7 +81,8 @@ object ScaleProbe {
     val catalogNames = Seq("dd_exact", "dd_ngram_jaccard", "dd_embedding_lsh",
       "sim_topk_bucketed", "sim_lsh_ann", "ta_langid", "ta_tokencount",
       "ta_vocab_topk", "ta_hash_sample", "ta_pack_sequences",
-      "emb_quantize_int8", "sim_topk_ivf", "ta_bigram_typicality")
+      "emb_quantize_int8", "sim_topk_ivf", "ta_bigram_typicality",
+      "dd_decontaminate", "ta_gopher_repetition")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes

@@ -881,6 +881,106 @@ object PipelineQueries {
              |    round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / (length(t) - 1), 6) END AS score
              |FROM t LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // benchmark decontamination (the eval-overlap scrub every training
+    // corpus runs before release): the held-out set is the deterministic
+    // doc_id % 97 == 0 slice standing in for an external benchmark; both
+    // sides shingle into 5-word grams. The benchmark's distinct-shingle
+    // set is small by construction (evals are MBs; the corpus is the
+    // 100 TB side), so it is BROADCAST into a hash join against the
+    // exploded corpus shingles — the corpus is never shuffled for the
+    // match; only the matched remainder aggregates per doc (one shuffle
+    // over contaminated rows only, which decontamination makes rare by
+    // definition). Exact string matching and integer counts — no
+    // hash-family parity needed across engines.
+    "dd_decontaminate" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
+        val sh = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
+          .filter(size($"ws") >= 5)
+          .select($"doc_id", explode(transform(
+            sequence(lit(1), size($"ws") - 4),
+            i => array_join(slice($"ws", i, lit(5)), " "))).as("sgram"))
+        val bench = sh.filter($"doc_id" % 97 === 0).select($"sgram").distinct()
+        sh.filter($"doc_id" % 97 =!= 0)
+          .join(broadcast(bench), "sgram")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"sgram").as("n_overlap"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(ws) - 4),
+             |      i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS sgram
+             |  FROM w WHERE len(ws) >= 5),
+             |bench AS (SELECT DISTINCT sgram FROM sh WHERE doc_id % 97 = 0)
+             |SELECT sh.doc_id, count(DISTINCT sh.sgram) AS n_overlap
+             |FROM sh JOIN bench USING (sgram) WHERE sh.doc_id % 97 <> 0
+             |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition filter: per-doc duplicate-word mass and
+    // top word-bigram occupancy — the repetition signals LM corpus
+    // curation drops documents on (thresholds 0.2 / 0.18, the latter
+    // from the published Gopher rules). distinct-ratio is ROW-LOCAL; the
+    // dominant bigram needs a per-doc mode, computed the scalable way:
+    // explode -> count per (doc, bigram) with map-side combine -> argmax
+    // per doc via ONE struct-max agg (ties break toward the
+    // lexicographically largest bigram — the natural struct order, which
+    // the oracle's ORDER BY n DESC, bg DESC reproduces), then a
+    // doc-keyed join back to the row-local stats. Integer counting
+    // end-to-end; fractions rounded at 6dp before every comparison.
+    "ta_gopher_repetition" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
+        val docs = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
+        val stats = docs.select($"doc_id", size($"ws").as("n_words"),
+          size(array_distinct($"ws")).as("n_distinct"))
+        val bgs = docs.filter(size($"ws") >= 2)
+          .select($"doc_id", (size($"ws") - 1).as("n_bg"),
+            explode(transform(sequence(lit(1), size($"ws") - 1),
+              i => concat(element_at($"ws", i), lit(" "),
+                element_at($"ws", i + 1)))).as("bg"))
+        val top = bgs.groupBy($"doc_id", $"n_bg", $"bg")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id", $"n_bg")
+          .agg(max(struct($"n", $"bg")).as("m"))
+          .select($"doc_id", $"m.bg".as("top_bigram"),
+            round($"m.n" / $"n_bg", 6).as("top_bigram_frac"))
+        stats.join(top, Seq("doc_id"), "left")
+          .withColumn("dup_word_frac",
+            round(($"n_words" - $"n_distinct") / $"n_words", 6))
+          .withColumn("keep", $"dup_word_frac" <= 0.2 &&
+            coalesce($"top_bigram_frac" <= 0.18, lit(true)))
+          .select($"doc_id", $"n_words", $"dup_word_frac", $"top_bigram",
+            $"top_bigram_frac", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM documents),
+             |stats AS (SELECT doc_id, len(ws) AS n_words,
+             |  len(list_distinct(ws)) AS n_distinct FROM w),
+             |bg AS (SELECT doc_id, len(ws) - 1 AS n_bg,
+             |    unnest(list_transform(generate_series(1, len(ws) - 1),
+             |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+             |  FROM w WHERE len(ws) >= 2),
+             |cnt AS (SELECT doc_id, n_bg, bg, count(*) AS n FROM bg GROUP BY doc_id, n_bg, bg),
+             |top AS (SELECT doc_id, bg AS top_bigram,
+             |    round(CAST(n AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg DESC) AS rn
+             |  FROM cnt)
+             |SELECT s.doc_id, s.n_words,
+             |  round(CAST(s.n_words - s.n_distinct AS DOUBLE) / s.n_words, 6) AS dup_word_frac,
+             |  t.top_bigram, t.top_bigram_frac,
+             |  (round(CAST(s.n_words - s.n_distinct AS DOUBLE) / s.n_words, 6) <= 0.2
+             |   AND COALESCE(t.top_bigram_frac <= 0.18, TRUE)) AS keep
+             |FROM stats s LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+             |  ON s.doc_id = t.doc_id
+             |ORDER BY s.doc_id""".stripMargin)),
+
     // rolling-hash document fingerprint (first 64 chars)
     "ta_fingerprint" -> Entry(
       (s, d) => {

@@ -120,6 +120,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamination broadcasts the benchmark shingles; IVF broadcasts the probe set") {
+    // dd_decontaminate: the 100 TB corpus side must NOT shuffle for the
+    // match — the held-out shingle set is the broadcast side of a hash
+    // join. sim_topk_ivf: same shape, the probe set is broadcast into
+    // the inverted lists. Neither may degenerate to a product.
+    for (q <- Seq("dd_decontaminate", "sim_topk_ivf")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degenerated to a product:\n" + p.take(1500))
+    }
+  }
+
+  test("gopher repetition computes the per-doc mode by aggregation, not a per-doc window") {
+    // the naive mode plan (row_number over doc_id) serializes each doc's
+    // bigrams through one window task; the agg form keeps map-side
+    // partials. The plan must contain hash aggregates and NO window.
+    val p = plan(graft.SparkEntry.queries("ta_gopher_repetition")(spark, sf))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("Window"), "per-doc window crept into the mode computation:\n" + p.take(2000))
+  }
+
+  test("int8 quantization is row-local: only the presentation sort shuffles") {
+    val p = plan(graft.SparkEntry.queries("emb_quantize_int8")(spark, sf))
+    val tree = p.split("\n").takeWhile(l => !l.startsWith("(1)"))
+    val n = tree.count(_.contains("Exchange"))
+    assert(n <= 1, s"emb_quantize_int8 shuffles beyond the final orderBy ($n):\n" +
+      tree.mkString("\n"))
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
