@@ -86,6 +86,18 @@ object TextFunctions {
       graft.plans.SimHashExpr(GraftColumnBridge.expression(toks)))
   }
 
+  /** Count of `text`'s character bigrams that are in the trained `model`
+    * set. Backed by the native codegen'd expression
+    * (graft.plans.BigramHitsExpr) — scores straight off the string, no
+    * per-row bigram array and no interpreted `filter` HOF, so the
+    * typicality scoring pass stays inside whole-stage codegen.
+    */
+  def bigramHits(text: Column, model: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.BigramHitsExpr(GraftColumnBridge.expression(text), model))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -79,6 +79,52 @@ object TextHashBridge {
     }
     out
   }
+
+  /** Count of `s`'s character bigrams present in `model` — the scoring
+    * half of the corpus-trained typicality filter, as one compiled scan
+    * over the string (the HOF form built a per-row array of ~L two-char
+    * strings and ran an interpreted `filter`).
+    */
+  def bigramHits(s: UTF8String, model: java.util.HashSet[String]): Int = {
+    val str = s.toString
+    var hits = 0
+    var i = 0
+    while (i < str.length - 1) {
+      if (model.contains(str.substring(i, i + 2))) hits += 1
+      i += 1
+    }
+    hits
+  }
+}
+
+/** `bigram_hits(text)` — counts the character bigrams of `text` that are
+  * in a trained model set, straight off the string (no per-row bigram
+  * array, no interpreted `filter` HOF — the scoring pass of the
+  * train-then-score typicality filter stays inside whole-stage codegen).
+  * A string shorter than 2 chars has no bigrams (returns 0).
+  */
+case class BigramHitsExpr(child: Expression, model: Seq[String])
+    extends UnaryExpression {
+  // one HashSet per (deserialized) expression instance, shared across rows
+  @transient private lazy val modelSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, model.size * 2))
+    model.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bigram_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.bigramHits(input.asInstanceOf[UTF8String], modelSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramModel", modelSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.bigramHits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHitsExpr =
+    copy(child = newChild)
 }
 
 /** `minhash_sig(tokens)` — the k-seed MinHash signature as a native

@@ -840,27 +840,30 @@ object PipelineQueries {
     // space with map-side combine) and keeps the top-200 (count desc,
     // bigram asc — deterministic at the cut) as the MODEL; pass 2 scores
     // every doc ROW-LOCALLY as the fraction of its bigram occurrences
-    // that are in-model (isin over 200 literals compiles to a hashed
-    // InSet — no join, no shuffle). All-integer counting, so the score
-    // is an exact rational both engines round identically. The 200-string
-    // model is collected and broadcast by value — a trained-artifact
-    // fetch, not a data collect. Text is normalized to printable ASCII
-    // (cross-engine lower()/substr parity) and capped at 400 chars.
+    // that are in-model, via the native codegen'd bigram_hits expression
+    // (one compiled scan over the string against a hashed model set — no
+    // per-row bigram array, no interpreted filter HOF, no join, no
+    // shuffle). All-integer counting, so the score is an exact rational
+    // both engines round identically. The 200-string model is collected
+    // and broadcast by value — a trained-artifact fetch, not a data
+    // collect. Text is normalized to printable ASCII (cross-engine
+    // lower()/substr parity) and capped at 400 chars.
     "ta_bigram_typicality" -> Entry(
       (s, d) => {
         import s.implicits._
         val txt = lower(substring(regexp_replace($"text", "[^ -~]", ""), 1, 400))
         val docs = rd(s, d, "documents").select($"doc_id", txt.as("t"))
-          .withColumn("bgs", when(length($"t") >= 2,
-            transform(sequence(lit(1), length($"t") - 1),
-              i => $"t".substr(i, lit(2))))
-            .otherwise(array().cast("array<string>")))
-        val model: Seq[String] = docs.select(explode($"bgs").as("b"))
+        val bgs = when(length($"t") >= 2,
+          transform(sequence(lit(1), length($"t") - 1),
+            i => $"t".substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))
+        val model: Seq[String] = docs.select(explode(bgs).as("b"))
           .groupBy($"b").agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"b").limit(200)
           .collect().map(_.getString(0)).toSeq
-        docs.select($"doc_id", size($"bgs").as("n_bg"),
-            size(filter($"bgs", b => b.isin(model: _*))).as("n_hit"))
+        docs.select($"doc_id",
+            when(length($"t") >= 2, length($"t") - 1).otherwise(0).as("n_bg"),
+            bigramHits($"t", model).as("n_hit"))
           .withColumn("score", when($"n_bg" > 0, round($"n_hit" / $"n_bg", 6)))
           .orderBy($"doc_id")
       },

@@ -79,4 +79,60 @@ class TextHashExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*("),
       "minhash_sig fell out of whole-stage codegen:\n" + p.take(800))
   }
+
+  /** The interpreted-HOF formulation bigram_hits replaced: per-row bigram
+    * array + `filter` with an InSet lambda. Kept as the parity reference —
+    * the ta_bigram_typicality oracle depends on identical counting.
+    */
+  private def bigramHitsHof(t: org.apache.spark.sql.Column, model: Seq[String]) =
+    size(filter(
+      when(length(t) >= 2,
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>")),
+      b => b.isin(model: _*)))
+
+  test("native bigram_hits matches the HOF count on real corpus text") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+      .select(lower(substring(regexp_replace($"text", "[^ -~]", ""), 1, 400)).as("t"))
+    // train a small model the same way the catalog query does
+    val model = docs
+      .select(explode(transform(sequence(lit(1), length($"t") - 1),
+        i => $"t".substr(i, lit(2)))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"b").limit(50)
+      .collect().map(_.getString(0)).toSeq
+    val cmp = docs
+      .select(bigramHits($"t", model).as("nat"), bigramHitsHof($"t", model).as("hof"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"bigram_hits native ${r.getInt(0)} != hof ${r.getInt(1)}"))
+  }
+
+  test("bigram_hits edges: short strings count 0 bigrams, null in -> null out") {
+    import spark.implicits._
+    val model = Seq("ab", "bc")
+    val rows = Seq(Some(""), Some("a"), Some("ab"), Some("abc"), Some("xbcabx"), None)
+      .toDF("t")
+      .select(bigramHits($"t", model).as("n"))
+      .collect()
+    assert(rows(0).getInt(0) == 0)  // "" has no bigrams
+    assert(rows(1).getInt(0) == 0)  // single char
+    assert(rows(2).getInt(0) == 1)  // "ab"
+    assert(rows(3).getInt(0) == 2)  // "ab","bc"
+    assert(rows(4).getInt(0) == 2)  // "bc" at 1, "ab" at 3
+    assert(rows(5).isNullAt(0))     // null text
+  }
+
+  test("bigram_hits projection stays inside whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(bigramHits(lower($"text"), Seq("th", "he", "e ")).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      "bigram_hits fell out of whole-stage codegen:\n" + p.take(800))
+  }
 }
