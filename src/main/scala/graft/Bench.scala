@@ -396,14 +396,21 @@ object Bench {
         // (run 1 of 2026-08-17 recorded dd_embedding_lsh at 102 s and
         // ta_langid at 69 s — 20x their clean times — because a
         // multi-minute episode covered the catalog phase)
-        val t = (1 to 2).map { _ =>
+        def rep(): Double = {
           val q0 = System.nanoTime()
           // foreach materializes every column — count() would let the
           // optimizer prune away the projected work being measured
           try { fn(s1, sfDir).foreach(_ => ()) }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
           (System.nanoTime() - q0) / 1e9
-        }.min
+        }
+        var t = (1 to 2).map(_ => rep()).min
+        // a multi-minute episode can still cover BOTH reps of one entry
+        // (the 16:04 record stamped ta_bigram_typicality at 42 s vs its
+        // ~3 s clean time): when the best-of-2 is far above the catalog
+        // norm, one extra rep is cheap insurance against recording a
+        // noise episode as a query cost
+        if (t >= 10.0 && remainingS > 60) t = math.min(t, rep())
         name -> t
       }
     }

@@ -923,6 +923,62 @@ object PipelineQueries {
              |FROM sh JOIN bench USING (sgram) WHERE sh.doc_id % 97 <> 0
              |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // cross-document boilerplate n-gram mask (RefinedWeb/Dolma-style
+    // repeated-span removal, the word-gram analog of their line-level
+    // dedup): a word-5-gram occurring in >= 3 DISTINCT documents is
+    // corpus boilerplate (navigation chrome, license headers, template
+    // text); each doc reports what fraction of its gram occurrences are
+    // boilerplate and a keep flag at 30% occupancy. Scalable shape:
+    // explode grams -> count distinct docs per gram (two-phase agg with
+    // map-side partials) -> filter the hot set -> shuffle equi-join the
+    // gram stream back against it (NO broadcast assumption: unlike the
+    // benchmark set in dd_decontaminate, corpus-wide boilerplate is
+    // unbounded) -> one doc-keyed agg. Everything is exact string match
+    // + integer counts; the fraction is a rational rounded at 6dp.
+    "dd_repeated_ngram_mask" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
+        val docs = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
+        val grams = docs.filter(size($"ws") >= 5)
+          .select($"doc_id", explode(transform(
+            sequence(lit(1), size($"ws") - 4),
+            i => array_join(slice($"ws", i, lit(5)), " "))).as("g"))
+        val hot = grams.groupBy($"g")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 3).select($"g")
+        val hits = grams.join(hot, "g")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hot"))
+        docs.select($"doc_id", greatest(size($"ws") - 4, lit(0)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hot", coalesce($"n_hot", lit(0L)))
+          .withColumn("hot_frac",
+            when($"n_grams" > 0, round($"n_hot" / $"n_grams", 6)))
+          .withColumn("keep", coalesce($"hot_frac" <= 0.3, lit(true)))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(ws) - 4),
+             |      i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS g
+             |  FROM w WHERE len(ws) >= 5),
+             |hot AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+             |h AS (SELECT doc_id, count(*) AS n_hot FROM g JOIN hot USING (g)
+             |      GROUP BY doc_id),
+             |st AS (SELECT w.doc_id,
+             |    CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END AS n_grams,
+             |    COALESCE(n_hot, 0) AS n_hot
+             |  FROM w LEFT JOIN h ON w.doc_id = h.doc_id)
+             |SELECT doc_id, n_grams, n_hot,
+             |  CASE WHEN n_grams > 0
+             |    THEN round(CAST(n_hot AS DOUBLE) / n_grams, 6) END AS hot_frac,
+             |  COALESCE(CASE WHEN n_grams > 0
+             |    THEN round(CAST(n_hot AS DOUBLE) / n_grams, 6) END <= 0.3,
+             |    TRUE) AS keep
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition filter: per-doc duplicate-word mass and
     // top word-bigram occupancy — the repetition signals LM corpus
     // curation drops documents on (thresholds 0.2 / 0.18, the latter
