@@ -22,11 +22,37 @@ object PipelineQueries {
   private val sqlToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 2))"
 
-  /** polyHashStr(t, seed) for a token variable `t` */
-  private def sqlTokHash(seed: Long): String =
+  /** polyHashStr(v, seed) for an arbitrary string variable `v` */
+  private def sqlStrHash(v: String, seed: Long): String =
     s"list_reduce(list_prepend(CAST(${seed % M} AS BIGINT), " +
-      s"list_transform(generate_series(1, length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))), " +
+      s"list_transform(generate_series(1, length($v)), i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), " +
       s"(a, x) -> (a * 131 + x) % $M)"
+
+  /** polyHashStr(t, seed) for a token variable `t` */
+  private def sqlTokHash(seed: Long): String = sqlStrHash("t", seed)
+
+  /** The quality-score CTE body over `from` (which must expose doc_id,
+    * text[, extraCols]): doc_id, extraCols, text, punct, stopr — shared
+    * by ta_quality and the per-source gate so the score has ONE SQL
+    * mirror. */
+  private def sqlQualityFrom(from: String, extraCols: String = ""): String = {
+    val stops = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,$extraCols text,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
+       |    CAST(greatest(length(text), 1) AS DOUBLE) AS punct,
+       |  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0), t -> t IN ($stops))) AS DOUBLE) /
+       |    CAST(greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)), 1) AS DOUBLE) AS stopr
+       |  FROM $from""".stripMargin
+  }
+
+  /** The quality CASE over a row of [[sqlQualityFrom]] — mirrors
+    * TextFunctions.qualityScore. */
+  private val sqlQualityExpr: String =
+    """CAST(round(
+      |  (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN CAST(0.4 AS DOUBLE)
+      |        WHEN length(text) BETWEEN 20 AND 10000 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+      |  (CASE WHEN punct < 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END) +
+      |  (CASE WHEN stopr > 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 2) AS DOUBLE)""".stripMargin
 
   private def minHashSeed(s: Int): Long = 0x9e3779b9L * (s + 1)
 
@@ -90,6 +116,10 @@ object PipelineQueries {
     * member linked to the bucket representative regardless of size.
     */
   private[queries] val BandBucketCap = 64
+
+  /** Hash seed for the DSIR bigram feature buckets (distinct from the
+    * MinHash seed family 0x9e3779b9*(s+1)). */
+  private val DsirSeed = 424242L
 
   /** The banded LSH candidate topology shared by every near-dup query:
     * explode the item's band keys, rank within each band bucket and cap
@@ -695,21 +725,9 @@ object PipelineQueries {
           .select($"doc_id", qualityScore($"text").as("quality"))
           .orderBy($"doc_id")
       },
-      Some {
-        val stops = Stopwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH t AS (SELECT doc_id, text,
-           |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) /
-           |    CAST(greatest(length(text), 1) AS DOUBLE) AS punct,
-           |  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0), t -> t IN ($stops))) AS DOUBLE) /
-           |    CAST(greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)), 1) AS DOUBLE) AS stopr
-           |  FROM documents)
-           |SELECT doc_id, CAST(round(
-           |  (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN CAST(0.4 AS DOUBLE)
-           |        WHEN length(text) BETWEEN 20 AND 10000 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
-           |  (CASE WHEN punct < 0.1 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END) +
-           |  (CASE WHEN stopr > 0.05 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 2) AS DOUBLE) AS quality
-           |FROM t ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH t AS (${sqlQualityFrom("documents")})
+              |SELECT doc_id, $sqlQualityExpr AS quality
+              |FROM t ORDER BY doc_id""".stripMargin)),
 
     "ta_tokencount" -> Entry(
       (s, d) => {
@@ -1080,6 +1098,205 @@ object PipelineQueries {
              |  md5(text) AS content_hash,
              |  octet_length(encode(text)) % 256 AS fake_feat0,
              |  (ascii(text) * 31 + octet_length(encode(text))) % 997 AS fake_feat1
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------- Corpus-curation extras (source gate, SemDeDup, DSIR) -------------
+
+    // domain-level source gating (the RefinedWeb/C4-style per-domain
+    // filter): per-source doc count, mean quality, and exact-dup rate,
+    // with a keep/drop verdict. The corpus is the documents table PLUS
+    // an exact-duplicate planting (every doc_id % 7 == 0 doc repeated
+    // under a shifted id — the table has no natural byte-identical dups,
+    // so the dup-rate axis would otherwise be constant 0). Scale shape:
+    // quality is scored row-locally, then ONE shuffle over the tiny
+    // source key space with map-side combine; countDistinct(md5) is the
+    // standard two-phase partial aggregate. Float parity: quality is
+    // re-scaled to exact integer centi-points before summing, so the
+    // mean is a single division of exact integers on both engines.
+    "ta_source_quality_gate" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val base = rd(s, d, "documents").select($"doc_id", $"source", $"text")
+        val corpus = base.unionByName(
+          base.filter(pmod($"doc_id", lit(7)) === 0)
+            .select(($"doc_id" + lit(1000000000L)).as("doc_id"), $"source", $"text"))
+        corpus
+          .select($"source",
+            round(qualityScore($"text") * 100).cast("long").as("qc"),
+            md5($"text").as("h"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"qc").as("qsum"),
+            countDistinct($"h").as("n_distinct"))
+          .select($"source", $"n_docs",
+            round($"qsum" / ($"n_docs" * 100.0), 4).as("mean_quality"),
+            round(lit(1.0) - $"n_distinct".cast("double") / $"n_docs", 4).as("dup_rate"))
+          .withColumn("verdict",
+            when($"mean_quality" >= 0.74 && $"dup_rate" <= 0.12, "keep")
+              .otherwise("drop"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000000, source, text FROM documents
+              |  WHERE doc_id % 7 = 0),
+              |t AS (${sqlQualityFrom("d", " source,")}),
+              |q AS (SELECT source,
+              |    CAST(round($sqlQualityExpr * 100) AS BIGINT) AS qc,
+              |    md5(text) AS h
+              |  FROM t),
+              |g AS (SELECT source, count(*) AS n_docs,
+              |    round(sum(qc) / (count(*) * 100.0), 4) AS mean_quality,
+              |    round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_rate
+              |  FROM q GROUP BY source)
+              |SELECT source, n_docs, mean_quality, dup_rate,
+              |  CASE WHEN mean_quality >= 0.74 AND dup_rate <= 0.12
+              |       THEN 'keep' ELSE 'drop' END AS verdict
+              |FROM g ORDER BY source""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // coarse-quantize every vector to its nearest of 8 centroids (the
+    // sim_topk_ivf quantizer reused as the trained artifact — collected
+    // as a MODEL and broadcast by value), then WITHIN each cluster sort
+    // by (rounded) cosine-to-centroid and compare each vector to its
+    // PREDECESSOR only: semantic near-dups have near-identical centroid
+    // cosine, so they land adjacent, and the O(|c|^2) within-cluster
+    // pair matrix collapses to one window sort + one lag compare
+    // (O(|c| log |c|) per cluster). Corpus = embeddings plus the same
+    // deterministically perturbed planted-near-dup copy dd_embedding_lsh
+    // uses (no natural cos >= 0.999 pairs exist). Cluster count stands
+    // in for nlist ~ sqrt(n) at scale: the per-cluster window IS the
+    // shuffle partitioning, so parallelism grows with nlist, and no
+    // pairwise join ever forms. Output = the DROPPED rows with their
+    // keeper and the verifying cosine.
+    "dd_semdedup" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val e = rd(s, d, "embeddings")
+          .select($"vec_id", toDouble($"embedding").as("v"))
+        val pert = transform($"embedding", (x, i) =>
+          x * (lit(1.0) + (pmod(i, lit(5)) - lit(2)).cast("double") * lit(0.004)))
+        val corpus = e.select($"vec_id".as("id"), $"v")
+          .unionByName(rd(s, d, "embeddings")
+            .select(($"vec_id" + lit(1000000000000L)).as("id"), pert.as("v")))
+        val cents: Seq[(Int, Seq[Double])] = e.filter($"vec_id" < 8)
+          .orderBy($"vec_id").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toIndexedSeq))
+          .toSeq
+        def centScores(v: Column): Column = array(cents.map { case (cid, cv) =>
+          struct(round(cosine(v, typedLit(cv)), 6).as("c"),
+            lit(-cid).as("negcid"))
+        }: _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cid").orderBy($"c2c".desc, $"id")
+        corpus.withColumn("best", array_max(centScores($"v")))
+          .select($"id", (-$"best.negcid").cast("long").as("cid"),
+            $"best.c".as("c2c"), $"v")
+          .withColumn("prev_id", lag($"id", 1).over(w))
+          .withColumn("prev_v", lag($"v", 1).over(w))
+          .withColumn("cos_prev", round(cosine($"v", $"prev_v"), 6))
+          .filter($"cos_prev" >= 0.999)
+          .select($"id", $"cid", $"prev_id", $"cos_prev")
+          .orderBy($"id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |corpus AS (
+             |  SELECT vec_id AS id, v FROM e
+             |  UNION ALL
+             |  SELECT vec_id + 1000000000000,
+             |    list_transform(generate_series(1, 64), j ->
+             |      v[j] * (CAST(1.0 AS DOUBLE) + CAST((j - 1) % 5 - 2 AS DOUBLE) * CAST(0.004 AS DOUBLE)))
+             |  FROM e),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |scored AS (SELECT c.id, ct.cid,
+             |    round(list_cosine_similarity(c.v, ct.cv), 6) AS c2c, c.v,
+             |    row_number() OVER (PARTITION BY c.id
+             |      ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC, ct.cid) AS rn
+             |  FROM corpus c CROSS JOIN cent ct),
+             |asg AS (SELECT id, cid, c2c, v FROM scored WHERE rn = 1),
+             |w AS (SELECT id, cid, v,
+             |    lag(id) OVER win AS prev_id, lag(v) OVER win AS prev_v
+             |  FROM asg WINDOW win AS (PARTITION BY cid ORDER BY c2c DESC, id))
+             |SELECT id, cid, prev_id,
+             |  round(list_cosine_similarity(v, prev_v), 6) AS cos_prev
+             |FROM w
+             |WHERE prev_v IS NOT NULL
+             |  AND round(list_cosine_similarity(v, prev_v), 6) >= 0.999
+             |ORDER BY id""".stripMargin)),
+
+    // DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    // hashed word-bigram features (256 buckets via the portable
+    // polynomial hash family), a target (lang = 'en') vs raw bucket-count
+    // model trained in ONE tiny aggregation (256 keys, map-side combine,
+    // collected as the trained artifact), then every doc scored against
+    // the broadcast 256-entry log-ratio table:
+    //   w(d) = sum_b n_db * ln(p_t(b) / p_r(b)), add-1 smoothing.
+    // The log-ratios are scaled to integer MICRO-units BEFORE the
+    // per-doc sum, so the aggregation is order-independent integer math
+    // (Spark's shuffle-order double sums would otherwise race the
+    // oracle); the only float op is one ln on identical rationals,
+    // rounded at 1e-6 on both engines. Scale shape: the model pass
+    // explodes and shuffles a 256-key space with map-side combine; the
+    // SCORING pass is entirely row-local — an integer HOF fold of each
+    // doc's hashed bigrams against the broadcast map, no explode, no
+    // join-back, zero data shuffle (only the presentation sort).
+    "ta_dsir_weights" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val B = 256
+        val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
+        val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
+        val bgs = when(size($"toks") >= 2,
+          transform(sequence(lit(1), size($"toks") - 1),
+            i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
+          .otherwise(array().cast("array<string>"))
+        def bucket(bg: Column): Column =
+          pmod(polyHashStr(bg, DsirSeed), lit(B.toLong))
+        val m: Seq[(Long, Long, Long)] = docs
+          .select($"lang", explode(bgs).as("bg"))
+          .select($"lang", bucket($"bg").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(when($"lang" === "en", lit(1))).as("tc"),
+            count(lit(1)).as("rc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val (tT, tR) = (m.map(_._2).sum, m.map(_._3).sum)
+        def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
+        val lrLit = typedLit(m.map { case (b, tc, rc) =>
+          b -> micro((tc + 1.0) / (rc + 1.0))
+        }.toMap)
+        val cMicro = micro((tR + B.toDouble) / (tT + B.toDouble))
+        docs.select($"doc_id", bgs.as("bgs"))
+          .select($"doc_id",
+            size($"bgs").cast("long").as("n_bg"),
+            aggregate($"bgs", lit(0L),
+              (acc, bg) => acc + element_at(lrLit, bucket(bg))).as("sm"))
+          .select($"doc_id", $"n_bg",
+            round(($"sm" + $"n_bg" * lit(cMicro)) / 1e6, 6).as("weight"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
+              |  FROM documents),
+              |bg AS (SELECT doc_id, lang, unnest(
+              |    CASE WHEN len(toks) >= 2 THEN
+              |      list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])
+              |    ELSE [] END) AS b
+              |  FROM t),
+              |bk AS (SELECT doc_id, lang, ${sqlStrHash("b", DsirSeed)} % 256 AS bucket FROM bg),
+              |m AS (SELECT bucket,
+              |    count(CASE WHEN lang = 'en' THEN 1 END) AS tc, count(*) AS rc
+              |  FROM bk GROUP BY bucket),
+              |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM m),
+              |lr AS (SELECT bucket,
+              |    CAST(round(ln((tc + 1.0) / (rc + 1.0)) * 1000000) AS BIGINT) AS lrm
+              |  FROM m),
+              |c AS (SELECT CAST(round(ln((rr + 256.0) / (tt + 256.0)) * 1000000) AS BIGINT) AS cm FROM tot),
+              |s AS (SELECT doc_id, count(*) AS n_bg, sum(lrm) AS sm
+              |  FROM bk JOIN lr USING (bucket) GROUP BY doc_id)
+              |SELECT t.doc_id,
+              |  CAST(COALESCE(s.n_bg, 0) AS BIGINT) AS n_bg,
+              |  round((COALESCE(s.sm, 0) + COALESCE(s.n_bg, 0) * c.cm) / 1000000.0, 6) AS weight
+              |FROM t LEFT JOIN s USING (doc_id) CROSS JOIN c ORDER BY doc_id""".stripMargin))
   )
 }

@@ -150,6 +150,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       tree.mkString("\n"))
   }
 
+  test("semdedup forms no pairwise join: one window per cluster, no join operator") {
+    // the within-cluster dedup must be the sort+lag shape, not a
+    // self-join pair matrix — any Join node means the O(|c|^2) path
+    val p = plan(graft.SparkEntry.queries("dd_semdedup")(spark, sf))
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), "pairwise join crept into dd_semdedup:\n" + p.take(2000))
+  }
+
+  test("dsir scoring is row-local: no join, no explode, only presentation shuffles") {
+    // the model pass runs eagerly at construction; the RETURNED plan is
+    // the scoring pass and must fold each row against the broadcast map
+    // literal — a Generate (explode) or Join would re-shuffle the corpus
+    val p = plan(graft.SparkEntry.queries("ta_dsir_weights")(spark, sf))
+    assert(!p.contains("Join"), "join-back crept into dsir scoring:\n" + p.take(2000))
+    assert(!p.contains("Generate"), "explode crept into dsir scoring:\n" + p.take(2000))
+  }
+
+  test("source gate is one aggregation pass over the tiny source key space") {
+    val p = plan(graft.SparkEntry.queries("ta_source_quality_gate")(spark, sf))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
