@@ -1000,39 +1000,47 @@ object PipelineQueries {
     // Gopher-style repetition filter: per-doc duplicate-word mass and
     // top word-bigram occupancy — the repetition signals LM corpus
     // curation drops documents on (thresholds 0.2 / 0.18, the latter
-    // from the published Gopher rules). distinct-ratio is ROW-LOCAL; the
-    // dominant bigram needs a per-doc mode, computed the scalable way:
-    // explode -> count per (doc, bigram) with map-side combine -> argmax
-    // per doc via ONE struct-max agg (ties break toward the
-    // lexicographically largest bigram — the natural struct order, which
-    // the oracle's ORDER BY n DESC, bg DESC reproduces), then a
-    // doc-keyed join back to the row-local stats. Integer counting
-    // end-to-end; fractions rounded at 6dp before every comparison.
+    // from the published Gopher rules). EVERYTHING is row-local: the
+    // per-doc bigram mode is a property of the row, so instead of
+    // shuffling every bigram of the corpus twice (explode -> count ->
+    // argmax -> join back), each row sorts its own bigram array and
+    // folds once over it tracking the current run and the best
+    // (count, bigram) so far — ascending scan order makes `run >= best`
+    // reproduce the struct-max tiebreak (max count, then
+    // lexicographically largest bigram) that the oracle's ORDER BY
+    // n DESC, bg DESC mirrors. Zero wide shuffles; only the
+    // presentation sort exchanges data. Integer counting end-to-end;
+    // fractions rounded at 6dp before every comparison.
     "ta_gopher_repetition" -> Entry(
       (s, d) => {
         import s.implicits._
         val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
         val docs = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
-        val stats = docs.select($"doc_id", size($"ws").as("n_words"),
-          size(array_distinct($"ws")).as("n_distinct"))
-        val bgs = docs.filter(size($"ws") >= 2)
-          .select($"doc_id", (size($"ws") - 1).as("n_bg"),
-            explode(transform(sequence(lit(1), size($"ws") - 1),
-              i => concat(element_at($"ws", i), lit(" "),
-                element_at($"ws", i + 1)))).as("bg"))
-        val top = bgs.groupBy($"doc_id", $"n_bg", $"bg")
-          .agg(count(lit(1)).as("n"))
-          .groupBy($"doc_id", $"n_bg")
-          .agg(max(struct($"n", $"bg")).as("m"))
-          .select($"doc_id", $"m.bg".as("top_bigram"),
-            round($"m.n" / $"n_bg", 6).as("top_bigram_frac"))
-        stats.join(top, Seq("doc_id"), "left")
-          .withColumn("dup_word_frac",
-            round(($"n_words" - $"n_distinct") / $"n_words", 6))
+        val bgsSorted = array_sort(transform(sequence(lit(1), size($"ws") - 1),
+          i => concat(element_at($"ws", i), lit(" "),
+            element_at($"ws", i + 1))))
+        val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit("").as("bestbg"))
+        val fold = aggregate($"bgs", zero, (a, x) => {
+          val run = when(x === a("prev"), a("run") + 1).otherwise(lit(1L))
+          val better = run >= a("best")
+          struct(x.as("prev"), run.as("run"),
+            when(better, run).otherwise(a("best")).as("best"),
+            when(better, x).otherwise(a("bestbg")).as("bestbg"))
+        })
+        docs
+          .select($"doc_id", size($"ws").as("n_words"),
+            size(array_distinct($"ws")).as("n_distinct"),
+            when(size($"ws") >= 2, bgsSorted).as("bgs"))
+          .withColumn("m", fold)
+          .select($"doc_id", $"n_words",
+            round(($"n_words" - $"n_distinct") / $"n_words", 6)
+              .as("dup_word_frac"),
+            when(size($"bgs") >= 1, $"m.bestbg").as("top_bigram"),
+            when(size($"bgs") >= 1,
+              round($"m.best" / size($"bgs"), 6)).as("top_bigram_frac"))
           .withColumn("keep", $"dup_word_frac" <= 0.2 &&
             coalesce($"top_bigram_frac" <= 0.18, lit(true)))
-          .select($"doc_id", $"n_words", $"dup_word_frac", $"top_bigram",
-            $"top_bigram_frac", $"keep")
           .orderBy($"doc_id")
       },
       Some("""WITH w AS (SELECT doc_id,

@@ -133,13 +133,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("gopher repetition computes the per-doc mode by aggregation, not a per-doc window") {
-    // the naive mode plan (row_number over doc_id) serializes each doc's
-    // bigrams through one window task; the agg form keeps map-side
-    // partials. The plan must contain hash aggregates and NO window.
+  test("gopher repetition computes the per-doc mode row-locally: no shuffle shapes at all") {
+    // the per-doc bigram mode is a row property — neither a window
+    // (serializes each doc through one task) nor an explode+agg+join
+    // (shuffles every bigram of the corpus twice) may appear; the only
+    // exchange allowed is the presentation sort
     val p = plan(graft.SparkEntry.queries("ta_gopher_repetition")(spark, sf))
-    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
     assert(!p.contains("Window"), "per-doc window crept into the mode computation:\n" + p.take(2000))
+    assert(!p.contains("Generate"), "explode crept into the mode computation:\n" + p.take(2000))
+    assert(!p.contains("Join"), "join-back crept into the mode computation:\n" + p.take(2000))
   }
 
   test("int8 quantization is row-local: only the presentation sort shuffles") {
