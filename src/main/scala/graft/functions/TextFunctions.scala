@@ -98,6 +98,18 @@ object TextFunctions {
       graft.plans.BigramHitsExpr(GraftColumnBridge.expression(text), model))
   }
 
+  /** Gopher repetition-filter signals of `text` as a struct
+    * `(n_words, n_distinct, top_bigram, top_n)` — word count, distinct
+    * words, and the modal word-bigram with its count (ties to the
+    * lexicographically largest bigram), all in one compiled pass
+    * (graft.plans.GopherStatsExpr) inside whole-stage codegen.
+    */
+  def gopherStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.GopherStatsExpr(GraftColumnBridge.expression(text)))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -95,6 +96,85 @@ object TextHashBridge {
     }
     hits
   }
+
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** One-pass Gopher repetition stats off the raw text: word count,
+    * distinct-word count, and the per-doc modal word-bigram (max count,
+    * ties to the lexicographically largest bigram — the corpus is ASCII,
+    * where UTF-16, UTF-8-binary and DuckDB `ORDER BY bg DESC` orders all
+    * agree). Tokenization is exactly
+    * `filter(split(lower(text), "\\s+"), length > 0)`: maximal runs of
+    * non-`\s` characters (`\s` = the Java regex class) of the lowercased
+    * text. Returns (n_words, n_distinct, top_bigram, top_n); the bigram
+    * pair is null when the doc has fewer than two words.
+    */
+  def gopherStats(s: UTF8String): InternalRow = {
+    val str = s.toLowerCase.toString
+    val words = new java.util.ArrayList[String]()
+    val L = str.length
+    var i = 0
+    while (i < L) {
+      while (i < L && isWsChar(str.charAt(i))) i += 1
+      val st = i
+      while (i < L && !isWsChar(str.charAt(i))) i += 1
+      if (i > st) words.add(str.substring(st, i))
+    }
+    val n = words.size
+    val distinct = new java.util.HashSet[String](math.max(16, n * 2))
+    var j = 0
+    while (j < n) { distinct.add(words.get(j)); j += 1 }
+    var topBg: String = null
+    var topN = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, java.lang.Long](math.max(16, n * 2))
+      j = 0
+      while (j < n - 1) {
+        val bg = words.get(j) + " " + words.get(j + 1)
+        val prev = counts.get(bg)
+        val c = if (prev == null) 1L else prev.longValue + 1L
+        counts.put(bg, c)
+        // monotone argmax: each bigram eventually reaches its final count,
+        // and the (count, bigram) replacement rule is order-insensitive
+        if (c > topN || (c == topN && bg.compareTo(topBg) > 0)) {
+          topN = c; topBg = bg
+        }
+        j += 1
+      }
+    }
+    val row = new GenericInternalRow(4)
+    row.setInt(0, n)
+    row.setInt(1, distinct.size)
+    if (topBg == null) { row.setNullAt(2); row.setNullAt(3) }
+    else { row.update(2, UTF8String.fromString(topBg)); row.setLong(3, topN) }
+    row
+  }
+}
+
+/** `gopher_stats(text)` — the Gopher repetition-filter signals (word
+  * count, distinct-word count, modal word-bigram + its count) in ONE
+  * compiled pass over the string. The HOF form (array_sort of the per-row
+  * bigram array + an interpreted `aggregate` fold) had the right
+  * topology — row-local, zero wide shuffles — but ran outside codegen at
+  * ~40 ms/doc; this keeps the same semantics inside whole-stage codegen.
+  */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", StringType, nullable = true),
+    StructField("top_n", LongType, nullable = true)))
+  override def prettyName: String = "gopher_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.gopherStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.gopherStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
 }
 
 /** `bigram_hits(text)` — counts the character bigrams of `text` that are

@@ -1003,42 +1003,23 @@ object PipelineQueries {
     // from the published Gopher rules). EVERYTHING is row-local: the
     // per-doc bigram mode is a property of the row, so instead of
     // shuffling every bigram of the corpus twice (explode -> count ->
-    // argmax -> join back), each row sorts its own bigram array and
-    // folds once over it tracking the current run and the best
-    // (count, bigram) so far — ascending scan order makes `run >= best`
-    // reproduce the struct-max tiebreak (max count, then
-    // lexicographically largest bigram) that the oracle's ORDER BY
-    // n DESC, bg DESC mirrors. Zero wide shuffles; only the
-    // presentation sort exchanges data. Integer counting end-to-end;
-    // fractions rounded at 6dp before every comparison.
+    // argmax -> join back), each row computes its own stats in one
+    // compiled pass (gopherStats / plans.GopherStatsExpr: tokenize,
+    // distinct-count, hashmap bigram argmax with the max-count /
+    // lexicographically-largest tiebreak the oracle's ORDER BY n DESC,
+    // bg DESC mirrors) inside whole-stage codegen. Zero wide shuffles;
+    // only the presentation sort exchanges data. Integer counting
+    // end-to-end; fractions rounded at 6dp before every comparison.
     "ta_gopher_repetition" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
-        val docs = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
-        val bgsSorted = array_sort(transform(sequence(lit(1), size($"ws") - 1),
-          i => concat(element_at($"ws", i), lit(" "),
-            element_at($"ws", i + 1))))
-        val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-          lit(0L).as("best"), lit("").as("bestbg"))
-        val fold = aggregate($"bgs", zero, (a, x) => {
-          val run = when(x === a("prev"), a("run") + 1).otherwise(lit(1L))
-          val better = run >= a("best")
-          struct(x.as("prev"), run.as("run"),
-            when(better, run).otherwise(a("best")).as("best"),
-            when(better, x).otherwise(a("bestbg")).as("bestbg"))
-        })
-        docs
-          .select($"doc_id", size($"ws").as("n_words"),
-            size(array_distinct($"ws")).as("n_distinct"),
-            when(size($"ws") >= 2, bgsSorted).as("bgs"))
-          .withColumn("m", fold)
-          .select($"doc_id", $"n_words",
-            round(($"n_words" - $"n_distinct") / $"n_words", 6)
+        rd(s, d, "documents")
+          .select($"doc_id", gopherStats($"text").as("g"))
+          .select($"doc_id", $"g.n_words".as("n_words"),
+            round(($"g.n_words" - $"g.n_distinct") / $"g.n_words", 6)
               .as("dup_word_frac"),
-            when(size($"bgs") >= 1, $"m.bestbg").as("top_bigram"),
-            when(size($"bgs") >= 1,
-              round($"m.best" / size($"bgs"), 6)).as("top_bigram_frac"))
+            $"g.top_bigram".as("top_bigram"),
+            round($"g.top_n" / ($"g.n_words" - 1), 6).as("top_bigram_frac"))
           .withColumn("keep", $"dup_word_frac" <= 0.2 &&
             coalesce($"top_bigram_frac" <= 0.18, lit(true)))
           .orderBy($"doc_id")
