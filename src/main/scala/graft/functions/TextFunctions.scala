@@ -110,6 +110,27 @@ object TextFunctions {
       graft.plans.GopherStatsExpr(GraftColumnBridge.expression(text)))
   }
 
+  /** Space-joined word n-grams of `text` (tokens = maximal non-whitespace
+    * runs of the lowercased text; fewer than n words → empty array).
+    * Backed by the native codegen'd expression (graft.plans.WordGramsExpr).
+    */
+  def wordGrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.WordGramsExpr(GraftColumnBridge.expression(text), n))
+  }
+
+  /** Distinct word n-grams of `text` with within-doc occurrence counts
+    * (`array<struct<g,c>>`, first-occurrence order). Exploding this is
+    * the shuffle-free equivalent of `explode(wordGrams).groupBy(g,
+    * doc_id).count()` — row-local map-side combining taken to its limit.
+    */
+  def wordGramCounts(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.WordGramCountsExpr(GraftColumnBridge.expression(text), n))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -215,9 +236,15 @@ object TextFunctions {
   // ---------------------------------------------------------------------
   // Text-analysis metrics (training-data pipeline operators).
   // ---------------------------------------------------------------------
-  /** Whitespace token count. */
-  def wsTokenCount(c: Column): Column =
-    size(filter(split(c, "\\s+"), w => length(w) > 0))
+  /** Whitespace token count — `size(filter(split(c, "\\s+"), length > 0))`
+    * semantics via the codegen'd graft.plans.WordCountExpr (one compiled
+    * scan, no token-array materialization).
+    */
+  def wsTokenCount(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.WordCountExpr(GraftColumnBridge.expression(c)))
+  }
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * punctuation marks each count as one token. Expressed via

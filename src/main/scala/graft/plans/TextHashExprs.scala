@@ -150,6 +150,157 @@ object TextHashBridge {
     else { row.update(2, UTF8String.fromString(topBg)); row.setLong(3, topN) }
     row
   }
+
+  /** All word n-grams of the text, space-joined, in one compiled pass:
+    * tokenize exactly like [[gopherStats]]
+    * (`filter(split(lower(text), "\\s+"), length > 0)`), then emit each
+    * gram as a SUBSTRING of the single-space-rejoined token string — no
+    * per-gram slice/join allocations (the HOF form allocated an array
+    * plus ~n small strings per gram, interpreted). Fewer than n words
+    * yields an empty array.
+    */
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val words = new java.util.ArrayList[String]()
+    val L = str.length
+    var i = 0
+    while (i < L) {
+      while (i < L && isWsChar(str.charAt(i))) i += 1
+      val st = i
+      while (i < L && !isWsChar(str.charAt(i))) i += 1
+      if (i > st) words.add(str.substring(st, i))
+    }
+    val w = words.size
+    if (w < n) return new GenericArrayData(new Array[Any](0))
+    val sb = new java.lang.StringBuilder(str.length)
+    val starts = new Array[Int](w)
+    var k = 0
+    while (k < w) {
+      starts(k) = sb.length
+      sb.append(words.get(k))
+      if (k < w - 1) sb.append(' ')
+      k += 1
+    }
+    val joined = sb.toString
+    val out = new Array[Any](w - n + 1)
+    k = 0
+    while (k <= w - n) {
+      val end = starts(k + n - 1) + words.get(k + n - 1).length
+      out(k) = UTF8String.fromString(joined.substring(starts(k), end))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** DISTINCT word n-grams of the text with their within-doc occurrence
+    * counts, in first-occurrence order (LinkedHashMap — deterministic).
+    * This is the row-local limit of map-side combining for gram-stream
+    * pipelines: `explode(wordGramCounts(..))` yields exactly what
+    * `explode(wordGrams(..)).groupBy(g, doc_id).count()` yields, without
+    * the corpus-wide (g, doc_id) shuffle.
+    */
+  def wordGramCounts(s: UTF8String, n: Int): ArrayData = {
+    val grams = wordGrams(s, n)
+    val m = grams.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](0))
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      math.max(16, m * 2))
+    var i = 0
+    while (i < m) {
+      val g = grams.getUTF8String(i)
+      val prev = counts.get(g)
+      if (prev == null) counts.put(g, Array(1L)) else prev(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val row = new GenericInternalRow(2)
+      row.update(0, e.getKey)
+      row.setLong(1, e.getValue()(0))
+      out(k) = row
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of maximal non-whitespace runs — `size(filter(split(text,
+    * "\\s+"), length > 0))` as one compiled scan with zero allocations.
+    */
+  def wordCount(s: UTF8String): Int = {
+    val str = s.toString
+    val L = str.length
+    var n = 0
+    var i = 0
+    while (i < L) {
+      while (i < L && isWsChar(str.charAt(i))) i += 1
+      if (i < L) n += 1
+      while (i < L && !isWsChar(str.charAt(i))) i += 1
+    }
+    n
+  }
+}
+
+/** `word_count(text)` — whitespace-token count as a native codegen'd
+  * expression (no token-array materialization, no interpreted filter HOF).
+  */
+case class WordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "word_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.wordCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.wordCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordCountExpr =
+    copy(child = newChild)
+}
+
+/** `word_gram_counts(text, n)` — distinct word n-grams with within-doc
+  * occurrence counts as `array<struct<g:string, c:bigint>>`, codegen'd.
+  * Exploding this is the shuffle-free equivalent of exploding the raw
+  * gram stream and aggregating on (g, doc_id).
+  */
+case class WordGramCountsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "word_gram_counts n must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_gram_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.wordGramCounts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.wordGramCounts($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramCountsExpr =
+    copy(child = newChild)
+}
+
+/** `word_grams(text, n)` — the space-joined word n-grams of `text` as a
+  * native codegen'd expression; the shingle generator for the
+  * decontamination and boilerplate-mask queries (one compiled pass off
+  * the string instead of an interpreted transform+slice+array_join
+  * chain over a pre-split token array).
+  */
+case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "word_grams n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.wordGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.wordGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
 }
 
 /** `gopher_stats(text)` — the Gopher repetition-filter signals (word

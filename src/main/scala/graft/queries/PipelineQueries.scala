@@ -916,17 +916,19 @@ object PipelineQueries {
     "dd_decontaminate" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
-        val sh = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
-          .filter(size($"ws") >= 5)
-          .select($"doc_id", explode(transform(
-            sequence(lit(1), size($"ws") - 4),
-            i => array_join(slice($"ws", i, lit(5)), " "))).as("sgram"))
+        // wordGramCounts yields an empty array below 5 words, so the
+        // explode drops those docs — same gating as the reference
+        // filter form; and because it emits each doc's DISTINCT grams,
+        // the per-doc overlap is a plain count (no countDistinct
+        // expansion) and the benchmark set needs only a cross-doc dedup
+        val sh = rd(s, d, "documents")
+          .select($"doc_id",
+            explode(wordGramCounts($"text", 5)("g")).as("sgram"))
         val bench = sh.filter($"doc_id" % 97 === 0).select($"sgram").distinct()
         sh.filter($"doc_id" % 97 =!= 0)
           .join(broadcast(bench), "sgram")
           .groupBy($"doc_id")
-          .agg(countDistinct($"sgram").as("n_overlap"))
+          .agg(count(lit(1)).as("n_overlap"))
           .orderBy($"doc_id")
       },
       Some("""WITH w AS (SELECT doc_id,
@@ -947,27 +949,36 @@ object PipelineQueries {
     // corpus boilerplate (navigation chrome, license headers, template
     // text); each doc reports what fraction of its gram occurrences are
     // boilerplate and a keep flag at 30% occupancy. Scalable shape:
-    // explode grams -> count distinct docs per gram (two-phase agg with
-    // map-side partials) -> filter the hot set -> shuffle equi-join the
-    // gram stream back against it (NO broadcast assumption: unlike the
-    // benchmark set in dd_decontaminate, corpus-wide boilerplate is
-    // unbounded) -> one doc-keyed agg. Everything is exact string match
-    // + integer counts; the fraction is a rational rounded at 6dp.
+    // one codegen'd pass per row builds the DISTINCT grams with their
+    // within-doc counts (wordGramCounts — the row-local limit of
+    // map-side combining, so no corpus-wide (g, doc_id) shuffle ever
+    // happens) -> explode -> hot-set aggregation (count of pair rows
+    // per g == distinct docs per g; map-side partials before the one
+    // gram-keyed shuffle) -> equi-join the pair stream back against
+    // the hot set (NO broadcast assumption in the plan shape: unlike
+    // the benchmark set in dd_decontaminate, corpus-wide boilerplate
+    // is unbounded — AQE may still broadcast a small hot set at
+    // runtime) -> one doc-keyed agg summing the pair counts.
+    // Everything is exact string match + integer counts; the fraction
+    // is a rational rounded at 6dp.
     "dd_repeated_ngram_mask" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ws = filter(split(lower($"text"), "\\s+"), x => length(x) > 0)
-        val docs = rd(s, d, "documents").select($"doc_id", ws.as("ws"))
-        val grams = docs.filter(size($"ws") >= 5)
-          .select($"doc_id", explode(transform(
-            sequence(lit(1), size($"ws") - 4),
-            i => array_join(slice($"ws", i, lit(5)), " "))).as("g"))
-        val hot = grams.groupBy($"g")
-          .agg(countDistinct($"doc_id").as("nd"))
+        // wordGramCounts makes the (g, doc_id) aggregation ROW-LOCAL:
+        // exploding it yields one (g, c) row per distinct gram per doc,
+        // so the corpus-wide (g, doc_id) shuffle the naive
+        // explode->groupBy shape pays simply does not exist in the plan
+        val pairs = rd(s, d, "documents")
+          .select($"doc_id", explode(wordGramCounts($"text", 5)).as("p"))
+          .select($"doc_id", $"p.g".as("g"), $"p.c".as("c"))
+        val hot = pairs.groupBy($"g")
+          .agg(count(lit(1)).as("nd"))
           .filter($"nd" >= 3).select($"g")
-        val hits = grams.join(hot, "g")
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_hot"))
-        docs.select($"doc_id", greatest(size($"ws") - 4, lit(0)).as("n_grams"))
+        val hits = pairs.join(hot, "g")
+          .groupBy($"doc_id").agg(sum($"c").as("n_hot"))
+        rd(s, d, "documents")
+          .select($"doc_id",
+            greatest(wsTokenCount($"text") - 4, lit(0)).as("n_grams"))
           .join(hits, Seq("doc_id"), "left")
           .withColumn("n_hot", coalesce($"n_hot", lit(0L)))
           .withColumn("hot_frac",

@@ -133,6 +133,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ngram mask shuffles the gram stream exactly once, already pair-counted") {
+    // wordGramCounts makes the (g, doc_id) occurrence counting row-local,
+    // so the only gram-keyed exchange left is the hot-set aggregation —
+    // a second one would mean the corpus-wide pair shuffle crept back
+    val p = plan(graft.SparkEntry.queries("dd_repeated_ngram_mask")(spark, sf))
+    val gramShuffles = "hashpartitioning\\(g#".r.findAllIn(p).length
+    assert(gramShuffles == 1,
+      s"expected exactly 1 gram-keyed exchange, found $gramShuffles:\n" + p.take(2500))
+    assert(p.contains("word_gram_counts"), "row-local gram counting missing:\n" + p.take(1500))
+  }
+
   test("gopher repetition computes the per-doc mode row-locally: no shuffle shapes at all") {
     // the per-doc bigram mode is a row property — neither a window
     // (serializes each doc through one task) nor an explode+agg+join
