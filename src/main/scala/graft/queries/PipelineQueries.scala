@@ -385,6 +385,59 @@ object PipelineQueries {
               |  SELECT s.src, r.comp FROM sym s JOIN reach r ON r.id = s.dst)
               |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // cluster-representative selection — the step a dedup pipeline runs
+    // AFTER connected components: within each near-dup cluster keep ONE
+    // document, the best by a deterministic quality order (longest text,
+    // ties to the smallest id), and flag the rest for deletion. Same CC
+    // topology as dd_cluster_cc (banded LSH edges, min-label
+    // propagation); the selection itself is one per-cluster window over
+    // the tiny (id, comp) frame, NOT over the corpus — at 100 TB the
+    // window input is |kept docs| rows of three integers.
+    "dd_cluster_keep_best" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val docs = rd(s, d, "documents").filter($"doc_id" < 200)
+        val items = docs
+          .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+        val edges = bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
+          .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
+          .filter($"jac" >= 0.4)
+          .select($"id_a", $"id_b")
+        val comps = GraphOps.connectedComponents(items.select($"id"), edges)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"comp").orderBy($"n_chars".desc, $"id".asc)
+        comps.join(docs.select($"doc_id".as("id"), $"n_chars"), "id")
+          .withColumn("keep", row_number().over(w) === 1)
+          .select($"id", $"comp", $"n_chars", $"keep")
+          .orderBy($"id")
+      },
+      Some(s"""WITH RECURSIVE
+              |t AS (SELECT doc_id, n_chars, $sqlShingles AS toks
+              |      FROM documents WHERE doc_id < 200),
+              |sigs AS (SELECT doc_id, toks, ${sqlSig()} AS sig FROM t),
+              |allbands AS (SELECT doc_id, unnest(${sqlBandKeys(3, 2)}) AS band FROM sigs),
+              |bands AS (SELECT doc_id, band FROM allbands
+              |          QUALIFY row_number() OVER (PARTITION BY band ORDER BY doc_id) <= $BandBucketCap),
+              |ids AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |edges AS (SELECT id_a, id_b
+              |          FROM (SELECT id_a, id_b, ta.toks AS toks_a, tb.toks AS toks_b
+              |                FROM ids JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+              |          WHERE round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) /
+              |                      CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 6) >= 0.4),
+              |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+              |        UNION SELECT id_b, id_a FROM edges),
+              |reach(id, comp) AS (
+              |  SELECT doc_id, doc_id FROM t
+              |  UNION
+              |  SELECT s.src, r.comp FROM sym s JOIN reach r ON r.id = s.dst),
+              |cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+              |SELECT cc.id, cc.comp, t.n_chars,
+              |  (row_number() OVER (PARTITION BY cc.comp
+              |     ORDER BY t.n_chars DESC, cc.id ASC) = 1) AS keep
+              |FROM cc JOIN t ON t.doc_id = cc.id
+              |ORDER BY cc.id""".stripMargin)),
+
     // embedding-cosine near-dup pairs within label blocks — the EXACT
     // baseline, explicitly scope-capped at 500 vectors: at cos >= 0.35
     // (nearly-orthogonal vectors) no LSH family prunes with high recall,
@@ -741,6 +794,48 @@ object PipelineQueries {
              |  len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS ws_tokens,
              |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // per-document TF-IDF keyword extraction, top-3 terms per doc — the
+    // classic corpus-statistics operator. TF is ROW-LOCAL
+    // (wordGramCounts(text, 1): one codegen'd pass, no (term, doc)
+    // shuffle); DF is one term-keyed aggregation with map-side partials
+    // over the distinct-terms-per-doc stream; N arrives as a broadcast
+    // one-row aggregate (no collect). Scores are rounded at 6dp BEFORE
+    // the per-doc top-k window orders on them (ties to the
+    // lexicographically smallest term), so the float never decides an
+    // ordering both engines could disagree on beyond the rounding.
+    "ta_tfidf_topk" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val tf = rd(s, d, "documents")
+          .select($"doc_id", explode(wordGramCounts($"text", 1)).as("p"))
+          .select($"doc_id", $"p.g".as("term"), $"p.c".as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = rd(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", round($"tf" * log($"n_docs" / $"df"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM documents),
+             |tfp AS (SELECT doc_id, unnest(ws) AS term FROM w),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tfp GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+             |  FROM tf JOIN df USING (term), n),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term ASC) AS rank FROM sc)
+             |SELECT doc_id, rank, term, tf, df, score FROM rk
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     // vocabulary building: global token frequencies, top-50 (the
     // explode -> partial-agg -> final-agg shuffle every tokenizer-vocab

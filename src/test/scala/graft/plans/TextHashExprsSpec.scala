@@ -135,4 +135,68 @@ class TextHashExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*("),
       "bigram_hits fell out of whole-stage codegen:\n" + p.take(800))
   }
+
+  /** The HOF tokenize the word-gram family replaced — every gram/count
+    * oracle depends on identical tokenization. */
+  private def wsHof(t: org.apache.spark.sql.Column) =
+    filter(split(lower(t), "\\s+"), x => length(x) > 0)
+
+  test("word_count / word_grams / word_gram_counts / gopher_stats match the HOF forms") {
+    import spark.implicits._
+    val weird = Seq(
+      "  leading and   multiple   spaces ", "one", "", "a b a b a b",
+      "tab\tsep\nand newline\r\nmix", "x y z x y z x y", "  \t \n ").toDF("text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select($"text").union(weird)
+    val gramsHof = when(size(wsHof($"text")) >= 5,
+      transform(sequence(lit(1), size(wsHof($"text")) - 4),
+        i => array_join(slice(wsHof($"text"), i, lit(5)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val cmp = docs.select(
+        wsTokenCount($"text").as("nat_n"), size(wsHof(lower($"text"))).as("hof_n"),
+        wordGrams($"text", 5).as("nat_g"), gramsHof.as("hof_g"),
+        wordGramCounts($"text", 5).as("nat_c"),
+        gopherStats($"text").as("st"),
+        size(array_distinct(wsHof($"text"))).as("hof_distinct"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "word_count mismatch")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "word_grams mismatch")
+      // counts: fold the raw grams and compare as a map
+      val raw = r.getSeq[String](3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nat = r.getSeq[org.apache.spark.sql.Row](4)
+        .map(p => p.getString(0) -> p.getLong(1)).toMap
+      assert(nat == raw, "word_gram_counts mismatch")
+      val st = r.getStruct(5)
+      assert(st.getInt(0) == r.getInt(0), "gopher n_words mismatch")
+      assert(st.getInt(1) == r.getInt(6), "gopher n_distinct mismatch")
+    }
+  }
+
+  test("gopher_stats modal bigram: max count, ties to the largest bigram") {
+    import spark.implicits._
+    val rows = Seq(
+      "a b a b c",        // "a b" x2 beats the rest
+      "z y z y x w x w",  // tie at 2 between "z y" and "x w" -> "z y"
+      "solo",             // 1 word -> null bigram
+      "").toDF("text")
+      .select(gopherStats($"text").as("st")).collect()
+    assert(rows(0).getStruct(0).getString(2) == "a b")
+    assert(rows(0).getStruct(0).getLong(3) == 2L)
+    assert(rows(1).getStruct(0).getString(2) == "z y")
+    assert(rows(2).getStruct(0).isNullAt(2))
+    assert(rows(3).getStruct(0).getInt(0) == 0)
+  }
+
+  test("the word-gram family stays inside whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(wsTokenCount($"text").as("n"), wordGrams($"text", 5).as("g"),
+        wordGramCounts($"text", 5).as("c"), gopherStats($"text").as("st"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      "word-gram family fell out of whole-stage codegen:\n" + p.take(800))
+  }
 }
