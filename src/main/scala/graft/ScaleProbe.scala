@@ -82,7 +82,8 @@ object ScaleProbe {
       "sim_topk_bucketed", "sim_lsh_ann", "ta_langid", "ta_tokencount",
       "ta_vocab_topk", "ta_hash_sample", "ta_pack_sequences",
       "emb_quantize_int8", "sim_topk_ivf", "ta_bigram_typicality",
-      "dd_decontaminate", "ta_gopher_repetition", "dd_repeated_ngram_mask")
+      "dd_decontaminate", "ta_gopher_repetition", "dd_repeated_ngram_mask",
+      "ta_tfidf_topk")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes

@@ -120,6 +120,7 @@ object PipelineQueries {
   /** Hash seed for the DSIR bigram feature buckets (distinct from the
     * MinHash seed family 0x9e3779b9*(s+1)). */
   private val DsirSeed = 424242L
+  private val LmSeed = 515151L
 
   /** The banded LSH candidate topology shared by every near-dup query:
     * explode the item's band keys, rank within each band bucket and cap
@@ -1336,6 +1337,66 @@ object PipelineQueries {
     // SCORING pass is entirely row-local — an integer HOF fold of each
     // doc's hashed bigrams against the broadcast map, no explode, no
     // join-back, zero data shuffle (only the presentation sort).
+    // CCNet-style LM quality gate: score each doc by its negative
+    // average log-probability under a corpus-trained HASHED unigram LM
+    // (1024 buckets — bounded model size at ANY corpus scale, the same
+    // hashed-feature trick as ta_dsir_weights; production CCNet
+    // broadcasts a trained KenLM exactly the same way). Integer
+    // micro-log arithmetic end to end: the model ships as
+    // bucket -> rint(ln p * 1e6), each doc sums its tokens' micro-logs
+    // in an integer fold, and only the final per-doc average is a
+    // rounded double — no float accumulation order can diverge between
+    // engines. Model pass: one map-side-combined shuffle over a
+    // 1024-key space; scoring pass: row-local fold, zero data shuffle
+    // (only the presentation sort).
+    "ta_lm_perplexity" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val B = 1024
+        val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
+        val docs = rd(s, d, "documents").select($"doc_id", toks.as("toks"))
+        def bucket(t: Column): Column =
+          pmod(polyHashStr(t, LmSeed), lit(B.toLong))
+        val m: Seq[(Long, Long)] = docs
+          .select(explode($"toks").as("t"))
+          .select(bucket($"t").as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val total = m.map(_._2).sum
+        def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
+        val lpLit = typedLit(m.map { case (b, c) =>
+          b -> micro((c + 1.0) / (total + B.toDouble))
+        }.toMap)
+        docs
+          .select($"doc_id", size($"toks").cast("long").as("n_tok"),
+            aggregate($"toks", lit(0L),
+              (acc, t) => acc + element_at(lpLit, bucket(t))).as("sm"))
+          .select($"doc_id", $"n_tok",
+            when($"n_tok" > 0, round(-$"sm" / ($"n_tok" * 1e6), 6)).as("nll"))
+          .withColumn("keep", coalesce($"nll" <= 3.45, lit(false)))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
+              |  FROM documents),
+              |bk AS (SELECT doc_id, ${sqlStrHash("tok", LmSeed)} % 1024 AS bucket
+              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+              |m AS (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket),
+              |tot AS (SELECT sum(c) AS tt FROM m),
+              |lp AS (SELECT bucket,
+              |    CAST(round(ln((c + 1.0) / (tt + 1024.0)) * 1000000) AS BIGINT) AS lpm
+              |  FROM m, tot),
+              |sc AS (SELECT doc_id, count(*) AS n_tok, sum(lpm) AS sm
+              |  FROM bk JOIN lp USING (bucket) GROUP BY doc_id)
+              |SELECT t.doc_id,
+              |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS n_tok,
+              |  CASE WHEN COALESCE(sc.n_tok, 0) > 0
+              |    THEN round(-sc.sm / (sc.n_tok * 1000000.0), 6) END AS nll,
+              |  COALESCE(CASE WHEN COALESCE(sc.n_tok, 0) > 0
+              |    THEN round(-sc.sm / (sc.n_tok * 1000000.0), 6) END <= 3.45,
+              |    FALSE) AS keep
+              |FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
     "ta_dsir_weights" -> Entry(
       (s, d) => {
         import s.implicits._
