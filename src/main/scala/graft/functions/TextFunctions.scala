@@ -131,6 +131,28 @@ object TextFunctions {
       graft.plans.WordGramCountsExpr(GraftColumnBridge.expression(text), n))
   }
 
+  /** Sum of a broadcast micro-log table over the hashed word n-grams of
+    * a token array (codegen'd graft.plans.HashedGramMicroSumExpr) — the
+    * scoring pass of the hashed-feature model family (DSIR weights,
+    * LM-perplexity gate). Bucket = polyHash(gram, seed) % table.length.
+    */
+  def hashedGramMicroSum(toks: Column, n: Int, seed: Long,
+      table: Array[Long]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.HashedGramMicroSumExpr(
+      GraftColumnBridge.expression(toks), n, seed, table))
+  }
+
+  /** Bucket ids of a token array's hashed word n-grams (codegen'd
+    * graft.plans.HashedGramBucketsExpr) — the train-pass companion of
+    * [[hashedGramMicroSum]].
+    */
+  def hashedGramBuckets(toks: Column, n: Int, seed: Long, mod: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.HashedGramBucketsExpr(
+      GraftColumnBridge.expression(toks), n, seed, mod))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -226,6 +226,77 @@ object TextHashBridge {
     new GenericArrayData(out)
   }
 
+  /** Sum of per-gram micro-log table lookups over the token array's
+    * word n-grams: for each space-joined n-gram (n=1 -> the tokens
+    * themselves), bucket = polyHash(gram, seed) % mod, accumulate
+    * table(bucket). The compiled form of the interpreted
+    * `aggregate(toks, 0L, (acc, t) -> acc + element_at(tableLit,
+    * pmod(polyHashStr(t, seed), mod)))` fold the DSIR / LM-perplexity
+    * scoring passes ran — identical integer math, so the oracles are
+    * unchanged.
+    */
+  def hashedGramMicroSum(toks: ArrayData, n: Int, seed: Long,
+      table: Array[Long], mod: Long): Long = {
+    val m = toks.numElements()
+    var sum = 0L
+    if (n == 1) {
+      var i = 0
+      while (i < m) {
+        sum += table((polyHash(toks.getUTF8String(i), seed) % mod).toInt)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + n <= m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val h = polyHash(UTF8String.fromString(sb.toString), seed)
+        sum += table((h % mod).toInt)
+        i += 1
+      }
+    }
+    sum
+  }
+
+  /** Bucket ids of the token array's word n-grams:
+    * polyHash(gram, seed) % mod per space-joined gram — the compiled
+    * TRAIN-side companion of [[hashedGramMicroSum]] (the model pass
+    * explodes these Longs instead of interpreting a per-char HOF hash
+    * over materialized gram strings).
+    */
+  def hashedGramBuckets(toks: ArrayData, n: Int, seed: Long,
+      mod: Long): ArrayData = {
+    val m = toks.numElements()
+    val cnt = if (n == 1) m else math.max(m - n + 1, 0)
+    val out = new Array[Any](cnt)
+    if (n == 1) {
+      var i = 0
+      while (i < m) {
+        out(i) = polyHash(toks.getUTF8String(i), seed) % mod
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + n <= m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out(i) = polyHash(UTF8String.fromString(sb.toString), seed) % mod
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of maximal non-whitespace runs — `size(filter(split(text,
     * "\\s+"), length > 0))` as one compiled scan with zero allocations.
     */
@@ -257,6 +328,55 @@ case class WordCountExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.wordCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): WordCountExpr =
+    copy(child = newChild)
+}
+
+/** `hashed_gram_micro_sum(toks)` — the codegen'd scoring pass of the
+  * hashed-feature model family (DSIR importance weights, LM-perplexity
+  * gate): sums a broadcast micro-log table over the hashed word n-grams
+  * of the token array. The model table rides along as a referenced
+  * Array[Long] indexed by bucket, exactly the map the interpreted
+  * `aggregate`+`element_at` fold looked up per gram.
+  */
+case class HashedGramMicroSumExpr(child: Expression, n: Int, seed: Long,
+    table: Array[Long]) extends UnaryExpression {
+  require(n >= 1, "hashed_gram_micro_sum n must be >= 1")
+  require(table.nonEmpty, "hashed_gram_micro_sum needs a non-empty table")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_gram_micro_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.hashedGramMicroSum(input.asInstanceOf[ArrayData], n, seed,
+      table, table.length.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("microTable", table, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHashBridge.hashedGramMicroSum($c, $n, ${seed}L, $ref, ${table.length}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedGramMicroSumExpr =
+    copy(child = newChild)
+}
+
+/** `hashed_gram_buckets(toks)` — the codegen'd TRAIN pass of the
+  * hashed-feature model family: the bucket ids of the token array's
+  * word n-grams, ready to explode into the model aggregation.
+  */
+case class HashedGramBucketsExpr(child: Expression, n: Int, seed: Long,
+    mod: Long) extends UnaryExpression {
+  require(n >= 1 && mod >= 1, "hashed_gram_buckets needs n >= 1, mod >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_gram_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.hashedGramBuckets(input.asInstanceOf[ArrayData], n, seed, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHashBridge.hashedGramBuckets($c, $n, ${seed}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedGramBucketsExpr =
     copy(child = newChild)
 }
 

@@ -1333,10 +1333,12 @@ object PipelineQueries {
     // (Spark's shuffle-order double sums would otherwise race the
     // oracle); the only float op is one ln on identical rationals,
     // rounded at 1e-6 on both engines. Scale shape: the model pass
-    // explodes and shuffles a 256-key space with map-side combine; the
-    // SCORING pass is entirely row-local — an integer HOF fold of each
-    // doc's hashed bigrams against the broadcast map, no explode, no
-    // join-back, zero data shuffle (only the presentation sort).
+    // explodes codegen'd bucket ids (hashed_gram_buckets) and shuffles
+    // a 256-key space with map-side combine; the SCORING pass is
+    // entirely row-local — one compiled scan (hashed_gram_micro_sum)
+    // summing the broadcast micro-log table over each doc's hashed
+    // bigrams, no explode, no join-back, zero data shuffle (only the
+    // presentation sort).
     // CCNet-style LM quality gate: score each doc by its negative
     // average log-probability under a corpus-trained HASHED unigram LM
     // (1024 buckets — bounded model size at ANY corpus scale, the same
@@ -1344,33 +1346,32 @@ object PipelineQueries {
     // broadcasts a trained KenLM exactly the same way). Integer
     // micro-log arithmetic end to end: the model ships as
     // bucket -> rint(ln p * 1e6), each doc sums its tokens' micro-logs
-    // in an integer fold, and only the final per-doc average is a
-    // rounded double — no float accumulation order can diverge between
-    // engines. Model pass: one map-side-combined shuffle over a
-    // 1024-key space; scoring pass: row-local fold, zero data shuffle
-    // (only the presentation sort).
+    // in one compiled scan (hashed_gram_micro_sum), and only the final
+    // per-doc average is a rounded double — no float accumulation order
+    // can diverge between engines. Model pass: codegen'd bucket ids
+    // through one map-side-combined shuffle over a 1024-key space;
+    // scoring pass: row-local, zero data shuffle (only the
+    // presentation sort).
     "ta_lm_perplexity" -> Entry(
       (s, d) => {
         import s.implicits._
         val B = 1024
         val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
         val docs = rd(s, d, "documents").select($"doc_id", toks.as("toks"))
-        def bucket(t: Column): Column =
-          pmod(polyHashStr(t, LmSeed), lit(B.toLong))
         val m: Seq[(Long, Long)] = docs
-          .select(explode($"toks").as("t"))
-          .select(bucket($"t").as("bucket"))
+          .select(explode(hashedGramBuckets($"toks", 1, LmSeed, B)).as("bucket"))
           .groupBy($"bucket").agg(count(lit(1)).as("c"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val total = m.map(_._2).sum
         def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
-        val lpLit = typedLit(m.map { case (b, c) =>
-          b -> micro((c + 1.0) / (total + B.toDouble))
-        }.toMap)
+        // dense bucket -> micro-ln p table; buckets no token hashed to
+        // get the smoothed default and are unreachable by construction
+        val cnt = m.toMap
+        val table = Array.tabulate(B)(b =>
+          micro((cnt.getOrElse(b.toLong, 0L) + 1.0) / (total + B.toDouble)))
         docs
           .select($"doc_id", size($"toks").cast("long").as("n_tok"),
-            aggregate($"toks", lit(0L),
-              (acc, t) => acc + element_at(lpLit, bucket(t))).as("sm"))
+            hashedGramMicroSum($"toks", 1, LmSeed, table).as("sm"))
           .select($"doc_id", $"n_tok",
             when($"n_tok" > 0, round(-$"sm" / ($"n_tok" * 1e6), 6)).as("nll"))
           .withColumn("keep", coalesce($"nll" <= 3.45, lit(false)))
@@ -1403,30 +1404,25 @@ object PipelineQueries {
         val B = 256
         val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
         val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
-        val bgs = when(size($"toks") >= 2,
-          transform(sequence(lit(1), size($"toks") - 1),
-            i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
-          .otherwise(array().cast("array<string>"))
-        def bucket(bg: Column): Column =
-          pmod(polyHashStr(bg, DsirSeed), lit(B.toLong))
         val m: Seq[(Long, Long, Long)] = docs
-          .select($"lang", explode(bgs).as("bg"))
-          .select($"lang", bucket($"bg").as("bucket"))
+          .select($"lang",
+            explode(hashedGramBuckets($"toks", 2, DsirSeed, B)).as("bucket"))
           .groupBy($"bucket")
           .agg(count(when($"lang" === "en", lit(1))).as("tc"),
             count(lit(1)).as("rc"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         val (tT, tR) = (m.map(_._2).sum, m.map(_._3).sum)
         def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
-        val lrLit = typedLit(m.map { case (b, tc, rc) =>
-          b -> micro((tc + 1.0) / (rc + 1.0))
-        }.toMap)
+        // dense bucket -> micro-ln likelihood-ratio table; buckets no
+        // bigram hashed to get lr = (0+1)/(0+1) = 1 (micro 0), unreachable
+        val lrm = m.map { case (b, tc, rc) =>
+          b -> micro((tc + 1.0) / (rc + 1.0)) }.toMap
+        val table = Array.tabulate(B)(b => lrm.getOrElse(b.toLong, 0L))
         val cMicro = micro((tR + B.toDouble) / (tT + B.toDouble))
-        docs.select($"doc_id", bgs.as("bgs"))
+        docs
           .select($"doc_id",
-            size($"bgs").cast("long").as("n_bg"),
-            aggregate($"bgs", lit(0L),
-              (acc, bg) => acc + element_at(lrLit, bucket(bg))).as("sm"))
+            greatest(size($"toks") - 1, lit(0)).cast("long").as("n_bg"),
+            hashedGramMicroSum($"toks", 2, DsirSeed, table).as("sm"))
           .select($"doc_id", $"n_bg",
             round(($"sm" + $"n_bg" * lit(cMicro)) / 1e6, 6).as("weight"))
           .orderBy($"doc_id")
