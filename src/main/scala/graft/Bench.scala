@@ -146,6 +146,24 @@ object Bench {
     }
   }
 
+  /** Did a worker trial actually finish? [[awaitSeconds]] returns
+    * Double.MaxValue on failure; a failed trial must be DISCARDED, never
+    * folded into a best-of or a ratio (the 2026-08-18 01:xx run stamped
+    * BASELINE.md with MaxValue seconds and 0 turns/s because ENOSPC'd
+    * trials still counted as "run").
+    */
+  private def ok(t: Double): Boolean = t < 1e17
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val children = Files.list(p)
+      try children.iterator().asScala.toList.foreach(deleteRecursively)
+      finally children.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   private def pinnedTrial(tableDir: String, outDir: String, cores: Int,
       mode: String = "unsalted", heapGb: Int = 24): Double =
     awaitSeconds(startWorker(tableDir, outDir, cores, mode, 0, heapGb))
@@ -434,6 +452,27 @@ object Bench {
     // an arm): the per-arm minimum estimates each arm's idle-box time
     // while the max over share minima preserves genuine skew; the paired
     // median bounds what estimator choice can hide.
+    // Each bench run leaves a ~12 GiB table + outputs in its temp dir; a
+    // day of runs fills the disk and later sections die with ENOSPC (the
+    // exact failure of the 2026-08-18 01:xx run). Sweep leftovers from
+    // earlier/killed runs before claiming our own dir, and check headroom.
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    try {
+      import scala.jdk.CollectionConverters._
+      val stale = Files.list(tmpRoot)
+      try stale.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("graft-bench"))
+        .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+      finally stale.close()
+    } catch { case _: Throwable => () }
+    val usableGb = tmpRoot.toFile.getUsableSpace >> 30
+    val lowDisk = usableGb < 40
+    if (lowDisk) {
+      System.err.println(s"[bench] WARNING: only $usableGb GiB free under " +
+        s"$tmpRoot — a full run writes a ~12 GiB table plus shuffle spill; " +
+        "sections may fail with ENOSPC")
+      budgetCut ::= s"low_disk=${usableGb}GiB"
+    }
     val benchBase = Files.createTempDirectory("graft-bench").toString
     val tableDir = s"$benchBase/table"
     // small parquet row groups so scan granularity matches the production
@@ -504,10 +543,12 @@ object Bench {
     // post-gate schedule.
     val gateFloorReserve = 70.0
     var lastTrialCost = 0.0
-    while (gateTrialsRun < trialsMax &&
-        (gateTrialsRun < 2 ||
+    var gateAttempts = 0
+    var gateFailed = 0
+    while (gateAttempts < trialsMax &&
+        (gateAttempts < 2 ||
           remainingS > lastTrialCost * 1.15 + gateFloorReserve)) {
-      val i = gateTrialsRun + 1
+      val i = gateAttempts + 1
       val w0 = System.nanoTime()
       val f = pinnedTrial(tableDir, s"$benchBase/gateFull", execCores,
         heapGb = execHeap)
@@ -522,13 +563,19 @@ object Bench {
         qs(q) = pinnedTrial(tableDir, s"$benchBase/gateQ$q", execCores,
           mode = s"quarter:$q:$nExec", heapGb = execHeap)
       }
-      System.err.println(
-        f"[bench] gate trial $i: full $f%.2fs; shares " +
-          qs.map(t => f"$t%.2f").mkString("/") + "s")
-      tFullArm += f; tQuarters += qs.toSeq
-      gateTrialsRun = i
+      gateAttempts = i
       lastTrialCost = (System.nanoTime() - w0) / 1e9
-      refreshGateEstimates()
+      if (ok(f) && qs.forall(ok)) {
+        System.err.println(
+          f"[bench] gate trial $i: full $f%.2fs; shares " +
+            qs.map(t => f"$t%.2f").mkString("/") + "s")
+        tFullArm += f; tQuarters += qs.toSeq
+        gateTrialsRun = tFullArm.size
+        refreshGateEstimates()
+      } else {
+        gateFailed += 1
+        System.err.println(s"[bench] gate trial $i DISCARDED (worker failure)")
+      }
       emit("gate", complete = false)
     }
     if (gateTrialsRun < trialsMax)
@@ -539,26 +586,42 @@ object Bench {
     // sort) vs the bucketed path. Best-of-K: a throughput claim, so the
     // min is the honest figure against one-sided noise.
     val saltedCostEst = 40.0
-    while (saltedTrialsRun < 2 &&
-        (saltedTrialsRun < 1 || remainingS > saltedCostEst + fullArmEst * 2.1 + 60) &&
+    var saltedAttempts = 0
+    var saltedFailed = 0
+    while (saltedAttempts < 2 &&
+        (saltedAttempts < 1 || remainingS > saltedCostEst + fullArmEst * 2.1 + 60) &&
         remainingS > saltedCostEst) {
       val t = pinnedTrial(tableDir, s"$benchBase/outSalted", cpus, "salted",
         heapGb = fullHeap)
-      System.err.println(f"[bench] salted trial local[$cpus]: $t%.2fs")
-      saltedSecsV = Some(math.min(saltedSecsV.getOrElse(Double.MaxValue), t))
-      saltedTrialsRun += 1
+      saltedAttempts += 1
+      if (ok(t)) {
+        System.err.println(f"[bench] salted trial local[$cpus]: $t%.2fs")
+        saltedSecsV = Some(math.min(saltedSecsV.getOrElse(Double.MaxValue), t))
+        saltedTrialsRun += 1
+      } else {
+        saltedFailed += 1
+        System.err.println("[bench] salted trial DISCARDED (worker failure)")
+      }
     }
-    if (saltedTrialsRun == 0) budgetCut ::= "salted=skipped"
+    if (saltedTrialsRun == 0) budgetCut ::= "salted=skipped-or-failed"
     emit("salted", complete = false)
 
     // ---- executor-size arm: one node-wide JVM (deployment guidance) -----
-    while (sizeTrialsRun < 3 &&
-        (sizeTrialsRun < 1 || remainingS > fullArmEst * 0.6 + fullArmEst * 1.5 + 60) &&
+    var sizeAttempts = 0
+    var sizeFailed = 0
+    while (sizeAttempts < 3 &&
+        (sizeAttempts < 1 || remainingS > fullArmEst * 0.6 + fullArmEst * 1.5 + 60) &&
         remainingS > fullArmEst * 0.6 + 30) {
       val t = pinnedTrial(tableDir, s"$benchBase/full", cpus, heapGb = fullHeap)
-      System.err.println(f"[bench] full-JVM local[$cpus]: $t%.2fs")
-      tFullMinV = Some(math.min(tFullMinV.getOrElse(Double.MaxValue), t))
-      sizeTrialsRun += 1
+      sizeAttempts += 1
+      if (ok(t)) {
+        System.err.println(f"[bench] full-JVM local[$cpus]: $t%.2fs")
+        tFullMinV = Some(math.min(tFullMinV.getOrElse(Double.MaxValue), t))
+        sizeTrialsRun += 1
+      } else {
+        sizeFailed += 1
+        System.err.println("[bench] full-JVM trial DISCARDED (worker failure)")
+      }
     }
     tFullMinV.foreach { t =>
       thrFullV = Some(totalTurns / t)
@@ -566,14 +629,16 @@ object Bench {
       // the same one-sided-noise-robust estimate
       sizeRatioV = thrSingleV.map(thrS => (totalTurns / t / cpus) / (thrS / execCores))
     }
-    if (sizeTrialsRun == 0) budgetCut ::= "executor_size=skipped"
+    if (sizeTrialsRun == 0) budgetCut ::= "executor_size=skipped-or-failed"
     emit("executor-size", complete = false)
 
     // ---- REPORTED: real executor processes, concurrent ------------------
     val tRawA = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tRawB = scala.collection.mutable.ArrayBuffer.empty[Double]
-    while (rawTrialsRun < 3 &&
-        (rawTrialsRun < 1 || remainingS > fullArmEst * 1.5 + 60) &&
+    var rawAttempts = 0
+    var rawFailed = 0
+    while (rawAttempts < 3 &&
+        (rawAttempts < 1 || remainingS > fullArmEst * 1.5 + 60) &&
         remainingS > fullArmEst * 1.5 + 15) {
       // the `cores` argument drives the taskset width: executor child
       // processes inherit the driver's CPU affinity, so the 4N arm must
@@ -582,24 +647,37 @@ object Bench {
         mode = s"cluster:1:$execCores:${execHeap * 1024}", heapGb = 4)
       val b = pinnedTrial(tableDir, s"$benchBase/rawB", nExec * execCores,
         mode = s"cluster:$nExec:$execCores:${execHeap * 1024}", heapGb = 4)
-      System.err.println(
-        f"[bench] raw cluster trial ${rawTrialsRun + 1}: 1x$execCores $a%.2fs; " +
-          f"${nExec}x$execCores $b%.2fs")
-      tRawA += a; tRawB += b
-      rawTrialsRun += 1
-      rawEffTrialsV = tRawA.zip(tRawB).map { case (x, y) => x / (nExec * y) }.toSeq
-      rawEffV = Some(median(rawEffTrialsV))
-      // the CLEANEST trial (lowest combined wall time): noise episodes
-      // land on whole arms one-sidedly, so the fastest-total trial is the
-      // least-contaminated concurrent measurement
-      val bestIdx = tRawA.zip(tRawB).zipWithIndex
-        .minBy { case ((x, y), _) => x + y }._2
-      rawEffBestV = Some(rawEffTrialsV(bestIdx))
-      emit("raw-cluster", complete = false)
+      rawAttempts += 1
+      if (!(ok(a) && ok(b))) {
+        rawFailed += 1
+        System.err.println("[bench] raw cluster trial DISCARDED (worker failure)")
+      } else {
+        System.err.println(
+          f"[bench] raw cluster trial ${rawTrialsRun + 1}: 1x$execCores $a%.2fs; " +
+            f"${nExec}x$execCores $b%.2fs")
+        tRawA += a; tRawB += b
+        rawTrialsRun += 1
+        rawEffTrialsV = tRawA.zip(tRawB).map { case (x, y) => x / (nExec * y) }.toSeq
+        rawEffV = Some(median(rawEffTrialsV))
+        // the CLEANEST trial (lowest combined wall time): noise episodes
+        // land on whole arms one-sidedly, so the fastest-total trial is the
+        // least-contaminated concurrent measurement
+        val bestIdx = tRawA.zip(tRawB).zipWithIndex
+          .minBy { case ((x, y), _) => x + y }._2
+        rawEffBestV = Some(rawEffTrialsV(bestIdx))
+        emit("raw-cluster", complete = false)
+      }
     }
-    if (rawTrialsRun == 0) budgetCut ::= "raw_cluster=skipped"
+    if (rawTrialsRun == 0) budgetCut ::= "raw_cluster=skipped-or-failed"
 
     emit("final", complete = true)
+
+    // our temp table/outputs are no longer needed for the md render below;
+    // delete them BEFORE the reduced-run early return so no path leaks the
+    // ~12 GiB dir (the accumulation that caused the ENOSPC failures)
+    try deleteRecursively(Paths.get(benchBase))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] temp cleanup failed: $e") }
 
     // refresh BENCH/BASELINE.md when run from the repo — but ONLY from a
     // default-configured run that completed every section (>= 3 gate
@@ -617,7 +695,13 @@ object Bench {
       s"gate trials $gateTrialsRun < 3" -> (gateTrialsRun < 3),
       "salted skipped" -> (saltedTrialsRun == 0),
       "executor-size skipped" -> (sizeTrialsRun == 0),
-      "raw-cluster skipped" -> (rawTrialsRun == 0)
+      "raw-cluster skipped" -> (rawTrialsRun == 0),
+      // ANY worker failure marks the box unhealthy for the whole run (the
+      // surviving trials likely ran beside the same ENOSPC/OOM condition)
+      s"worker failures (gate=$gateFailed salted=$saltedFailed " +
+        s"size=$sizeFailed raw=$rawFailed)" ->
+        (gateFailed + saltedFailed + sizeFailed + rawFailed > 0),
+      s"low disk at start (${usableGb} GiB)" -> lowDisk
     ).collect { case (why, true) => why }
     if (reducedReasons.nonEmpty) {
       System.err.println("[bench] reduced run (" +
