@@ -106,6 +106,43 @@ object CoreQueries {
              |  GROUP BY o_orderkey
              |  ORDER BY revenue DESC, o_orderkey LIMIT 10)""".stripMargin)),
 
+    // Multi-level OLAP aggregation in ONE pass: ROLLUP computes the
+    // (region, nation), region-subtotal, and grand-total levels from a
+    // single scan + shuffle (Catalyst's Expand feeds one hash aggregate;
+    // no per-level re-scan). All three dims broadcast; the revenue sum is
+    // exact decimal, so the terminal VARCHAR is hash-stable. NULL rollup
+    // slots are COALESCEd to 'ALL' so the presentation sort never touches
+    // engine-specific NULL ordering.
+    "q_rollup_revenue" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val o = rd(s, d, "orders")
+        val l = rd(s, d, "lineitem")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(rd(s, d, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(rd(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(rd(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
+            .cast("decimal(28,4)").as("rev"), grouping_id().as("gid"))
+          .select($"gid".cast("long").as("lvl"),
+            coalesce($"r_name", lit("ALL")).as("region"),
+            coalesce($"n_name", lit("ALL")).as("nation"),
+            $"rev".cast("string").as("revenue"))
+          .orderBy($"lvl", $"region", $"nation")
+      },
+      Some("""SELECT CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS lvl,
+             |  COALESCE(r_name, 'ALL') AS region,
+             |  COALESCE(n_name, 'ALL') AS nation,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS VARCHAR) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY lvl, region, nation""".stripMargin)),
+
     // dimension joins — both sides broadcast (star-schema pattern)
     "q_join_broadcast" -> Entry(
       (s, d) => {

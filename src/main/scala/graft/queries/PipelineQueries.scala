@@ -122,6 +122,60 @@ object PipelineQueries {
   private val DsirSeed = 424242L
   private val LmSeed = 515151L
 
+  /** doc_id, lang, n_tok, nll under the corpus-trained hashed unigram LM
+    * (1024 buckets, add-one smoothing, integer micro-log scoring) —
+    * the shared model of ta_lm_perplexity (the keep/drop gate) and
+    * ta_ccnet_bucket (the head/middle/tail tertiles). Model pass:
+    * codegen'd bucket ids (hashedGramBuckets) through one
+    * map-side-combined shuffle over a 1024-key space, collected to a
+    * dense driver-side table (8 KiB — broadcast-friendly at any corpus
+    * size); scoring pass: row-local compiled scan (hashedGramMicroSum),
+    * zero data shuffle.
+    */
+  private def lmNllFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 1024
+    val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
+    val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
+    val m: Seq[(Long, Long)] = docs
+      .select(explode(hashedGramBuckets($"toks", 1, LmSeed, B)).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val total = m.map(_._2).sum
+    def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
+    // dense bucket -> micro-ln p table; buckets no token hashed to
+    // get the smoothed default and are unreachable by construction
+    val cnt = m.toMap
+    val table = Array.tabulate(B)(b =>
+      micro((cnt.getOrElse(b.toLong, 0L) + 1.0) / (total + B.toDouble)))
+    docs
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"),
+        hashedGramMicroSum($"toks", 1, LmSeed, table).as("sm"))
+      .select($"doc_id", $"lang", $"n_tok",
+        when($"n_tok" > 0, round(-$"sm" / ($"n_tok" * 1e6), 6)).as("nll"))
+  }
+
+  /** DuckDB CTE chain retraining the exact [[lmNllFrame]] model in SQL;
+    * terminal CTE `nll` exposes (doc_id, lang, n_tok, nll). */
+  private def sqlLmNllCte: String =
+    s"""t AS (SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
+       |  FROM documents),
+       |bk AS (SELECT doc_id, ${sqlStrHash("tok", LmSeed)} % 1024 AS bucket
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+       |m AS (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket),
+       |tot AS (SELECT sum(c) AS tt FROM m),
+       |lp AS (SELECT bucket,
+       |    CAST(round(ln((c + 1.0) / (tt + 1024.0)) * 1000000) AS BIGINT) AS lpm
+       |  FROM m, tot),
+       |sc AS (SELECT doc_id, count(*) AS n_tok, sum(lpm) AS sm
+       |  FROM bk JOIN lp USING (bucket) GROUP BY doc_id),
+       |nll AS (SELECT t.doc_id, t.lang,
+       |    CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS n_tok,
+       |    CASE WHEN COALESCE(sc.n_tok, 0) > 0
+       |      THEN round(-sc.sm / (sc.n_tok * 1000000.0), 6) END AS nll
+       |  FROM t LEFT JOIN sc USING (doc_id))""".stripMargin
+
   /** The banded LSH candidate topology shared by every near-dup query:
     * explode the item's band keys, rank within each band bucket and cap
     * hot buckets (see [[BandBucketCap]]), equi-join on the key, dedup
@@ -1355,48 +1409,46 @@ object PipelineQueries {
     "ta_lm_perplexity" -> Entry(
       (s, d) => {
         import s.implicits._
-        val B = 1024
-        val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
-        val docs = rd(s, d, "documents").select($"doc_id", toks.as("toks"))
-        val m: Seq[(Long, Long)] = docs
-          .select(explode(hashedGramBuckets($"toks", 1, LmSeed, B)).as("bucket"))
-          .groupBy($"bucket").agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val total = m.map(_._2).sum
-        def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
-        // dense bucket -> micro-ln p table; buckets no token hashed to
-        // get the smoothed default and are unreachable by construction
-        val cnt = m.toMap
-        val table = Array.tabulate(B)(b =>
-          micro((cnt.getOrElse(b.toLong, 0L) + 1.0) / (total + B.toDouble)))
-        docs
-          .select($"doc_id", size($"toks").cast("long").as("n_tok"),
-            hashedGramMicroSum($"toks", 1, LmSeed, table).as("sm"))
-          .select($"doc_id", $"n_tok",
-            when($"n_tok" > 0, round(-$"sm" / ($"n_tok" * 1e6), 6)).as("nll"))
+        lmNllFrame(s, d)
+          .select($"doc_id", $"n_tok", $"nll")
           .withColumn("keep", coalesce($"nll" <= 3.45, lit(false)))
           .orderBy($"doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id,
-              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
-              |  FROM documents),
-              |bk AS (SELECT doc_id, ${sqlStrHash("tok", LmSeed)} % 1024 AS bucket
-              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
-              |m AS (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket),
-              |tot AS (SELECT sum(c) AS tt FROM m),
-              |lp AS (SELECT bucket,
-              |    CAST(round(ln((c + 1.0) / (tt + 1024.0)) * 1000000) AS BIGINT) AS lpm
-              |  FROM m, tot),
-              |sc AS (SELECT doc_id, count(*) AS n_tok, sum(lpm) AS sm
-              |  FROM bk JOIN lp USING (bucket) GROUP BY doc_id)
-              |SELECT t.doc_id,
-              |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS n_tok,
-              |  CASE WHEN COALESCE(sc.n_tok, 0) > 0
-              |    THEN round(-sc.sm / (sc.n_tok * 1000000.0), 6) END AS nll,
-              |  COALESCE(CASE WHEN COALESCE(sc.n_tok, 0) > 0
-              |    THEN round(-sc.sm / (sc.n_tok * 1000000.0), 6) END <= 3.45,
-              |    FALSE) AS keep
-              |FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+      Some(s"""WITH $sqlLmNllCte
+              |SELECT doc_id, n_tok, nll,
+              |  COALESCE(nll <= 3.45, FALSE) AS keep
+              |FROM nll ORDER BY doc_id""".stripMargin)),
+
+    // CCNet's other half: after the perplexity score, CCNet SPLITS each
+    // language's corpus into head/middle/tail TERTILES by perplexity and
+    // trains preferentially on the head. Exact per-language tertiles via
+    // ntile(3) over (lang, nll, doc_id) — deterministic total order, so
+    // both engines assign identical buckets. Scale shape: the tertile
+    // window needs a per-language total order — Spark range-partitions
+    // the sort, but ntile still gathers each language into one partition;
+    // the 100 TB path swaps the exact ntile for broadcast nll cutoffs
+    // from approx_percentile (documented approximation), keeping this
+    // exact form as the small-scale oracle of record.
+    "ta_ccnet_bucket" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        lmNllFrame(s, d).filter($"n_tok" > 0)
+          .withColumn("tile", ntile(3).over(
+            Window.partitionBy($"lang").orderBy($"nll", $"doc_id")))
+          .select($"doc_id", $"lang", $"nll",
+            when($"tile" === 1, "head").when($"tile" === 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $sqlLmNllCte,
+              |tiles AS (SELECT doc_id, lang, nll,
+              |    ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS tile
+              |  FROM nll WHERE n_tok > 0)
+              |SELECT doc_id, lang, nll,
+              |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              |    ELSE 'tail' END AS ppl_bucket
+              |FROM tiles ORDER BY doc_id""".stripMargin)),
 
     "ta_dsir_weights" -> Entry(
       (s, d) => {
@@ -1449,6 +1501,80 @@ object PipelineQueries {
               |SELECT t.doc_id,
               |  CAST(COALESCE(s.n_bg, 0) AS BIGINT) AS n_bg,
               |  round((COALESCE(s.sm, 0) + COALESCE(s.n_bg, 0) * c.cm) / 1000000.0, 6) AS weight
-              |FROM t LEFT JOIN s USING (doc_id) CROSS JOIN c ORDER BY doc_id""".stripMargin))
+              |FROM t LEFT JOIN s USING (doc_id) CROSS JOIN c ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-flattened source-mixture weights — the multilingual /
+    // multi-domain sampling idiom (sample source s with p proportional to
+    // c_s^alpha): per-source token mass, natural share, alpha = 0.5
+    // flattened share, and the resulting up/down-sampling boost. alpha is
+    // 0.5 BECAUSE sqrt is IEEE-correctly-rounded in both engines (pow is
+    // not), so the rounded micro-pows agree bit-for-bit; the share
+    // denominators are integer sums of those micros — no float
+    // accumulation order exists anywhere. Scale shape: one
+    // map-side-combined agg to ~#sources rows, then a broadcast of the
+    // two totals; the per-doc pass is the codegen'd word-count scan.
+    "ta_domain_mix" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val per = rd(s, d, "documents").groupBy($"source")
+          .agg(sum(wsTokenCount($"text").cast("long")).as("tokens"))
+          .withColumn("pwm", round(sqrt($"tokens") * 1e6, 0).cast("long"))
+        val tot = per.agg(sum($"tokens").as("tt"), sum($"pwm").as("pp"))
+        per.crossJoin(broadcast(tot))
+          .select($"source", $"tokens",
+            round($"tokens" / $"tt", 6).as("nat_share"),
+            round($"pwm" / $"pp", 6).as("temp_share"),
+            round(($"pwm" / $"pp") / ($"tokens" / $"tt"), 6).as("boost"))
+          .orderBy($"source")
+      },
+      Some("""WITH per AS (SELECT source,
+             |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source),
+             |pw AS (SELECT source, tokens,
+             |    CAST(round(sqrt(tokens) * 1000000) AS BIGINT) AS pwm FROM per),
+             |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+             |    CAST(sum(pwm) AS BIGINT) AS pp FROM pw)
+             |SELECT source, tokens,
+             |  round(CAST(tokens AS DOUBLE) / tt, 6) AS nat_share,
+             |  round(CAST(pwm AS DOUBLE) / pp, 6) AS temp_share,
+             |  round((CAST(pwm AS DOUBLE) / pp) / (CAST(tokens AS DOUBLE) / tt), 6) AS boost
+             |FROM pw CROSS JOIN tot ORDER BY source""".stripMargin)),
+
+    // Per-source token-length profile: exact DISCRETE quantiles (the
+    // k = ceil(p * n)-th smallest, type-1 — integer selection, no
+    // interpolation arithmetic to disagree on). Scale shape: one window
+    // shuffle per source partition; the 100 TB path swaps row_number for
+    // approx_percentile's broadcast sketch when a source no longer fits
+    // a partition (documented approximation), keeping this exact form as
+    // the oracle of record.
+    "ta_length_quantiles" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = rd(s, d, "documents")
+          .select($"doc_id", $"source", wsTokenCount($"text").cast("long").as("n_tok"))
+        val byLen = Window.partitionBy($"source").orderBy($"n_tok", $"doc_id")
+        val whole = Window.partitionBy($"source")
+        docs
+          .withColumn("rn", row_number().over(byLen).cast("long"))
+          .withColumn("n", count(lit(1)).over(whole))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            max(when($"rn" === ceil($"n" * 0.5), $"n_tok")).as("p50"),
+            max(when($"rn" === ceil($"n" * 0.9), $"n_tok")).as("p90"),
+            max(when($"rn" === ceil($"n" * 0.99), $"n_tok")).as("p99"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |r AS (SELECT source, n_tok,
+             |    row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_tok END) AS p50,
+             |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_tok END) AS p90,
+             |  max(CASE WHEN rn = ceil(n * 0.99) THEN n_tok END) AS p99
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -186,6 +186,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("rollup computes all levels in one pass: Expand + agg, one fact scan") {
+    val p = plan(graft.SparkEntry.queries("q_rollup_revenue")(spark, sf))
+    assert(p.contains("Expand"), "rollup lost its Expand:\n" + p.take(1500))
+    assert("Scan parquet.*lineitem".r.findAllIn(p).size <= 1,
+      "lineitem scanned more than once:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "dims not broadcast:\n" + p.take(1500))
+  }
+
+  test("domain mix is one map-side-combined agg; totals broadcast back") {
+    val p = plan(graft.SparkEntry.queries("ta_domain_mix")(spark, sf))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "totals not broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)

@@ -199,4 +199,53 @@ class TextHashExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*("),
       "word-gram family fell out of whole-stage codegen:\n" + p.take(800))
   }
+
+  test("hashed_gram_buckets / hashed_gram_micro_sum match the HOF hashing") {
+    import spark.implicits._
+    val seed = 424242L
+    val B = 256
+    val table = Array.tabulate(B)(i => i.toLong * 7 - 100)
+    val tl = typedLit(table.toSeq)
+    val toksOf = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
+    // the interpreted formulations the exprs replaced (ta_dsir_weights /
+    // ta_lm_perplexity pre-r4): per-char HOF hash per gram
+    def bucketHof(c: org.apache.spark.sql.Column) =
+      pmod(polyHashStr(c, seed), lit(B.toLong))
+    val bgs = when(size($"toks") >= 2,
+      transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val weird = Seq("", "one", "a  b", "x y z").toDF("text")
+    val cmp = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select($"text").union(weird)
+      .select(toksOf.as("toks"))
+      .select(
+        hashedGramBuckets($"toks", 1, seed, B).as("nat1"),
+        transform($"toks", t => bucketHof(t)).as("hof1"),
+        hashedGramBuckets($"toks", 2, seed, B).as("nat2"),
+        transform(bgs, b => bucketHof(b)).as("hof2"),
+        hashedGramMicroSum($"toks", 2, seed, table).as("nat_sum"),
+        aggregate(bgs, lit(0L),
+          (acc, b) => acc + element_at(tl, bucketHof(b).cast("int") + 1)).as("hof_sum"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "unigram buckets mismatch")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "bigram buckets mismatch")
+      assert(r.getLong(4) == r.getLong(5), "micro-sum mismatch")
+    }
+  }
+
+  test("the hashed-gram family stays inside whole-stage codegen") {
+    import spark.implicits._
+    val table = Array.tabulate(64)(i => i.toLong)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0).as("toks"))
+      .select(hashedGramBuckets($"toks", 2, 1L, 64).as("b"),
+        hashedGramMicroSum($"toks", 1, 1L, table).as("s"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      "hashed-gram family fell out of whole-stage codegen:\n" + p.take(800))
+  }
 }
