@@ -83,7 +83,9 @@ object ScaleProbe {
       "ta_vocab_topk", "ta_hash_sample", "ta_pack_sequences",
       "emb_quantize_int8", "sim_topk_ivf", "ta_bigram_typicality",
       "dd_decontaminate", "ta_gopher_repetition", "dd_repeated_ngram_mask",
-      "ta_tfidf_topk")
+      "ta_tfidf_topk", "ta_lm_perplexity", "ta_dsir_weights",
+      "ta_ccnet_bucket", "ta_domain_mix", "ta_length_quantiles",
+      "dd_semdedup")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes
