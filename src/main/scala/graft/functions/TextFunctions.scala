@@ -153,6 +153,17 @@ object TextFunctions {
       GraftColumnBridge.expression(toks), n, seed, mod))
   }
 
+  /** [n, sum c_i * micro-ln(c_i)] over the byte histogram (codegen'd
+    * graft.plans.CharEntropyPartsExpr) — the exact-integer parts of
+    * per-doc Shannon character entropy; combine as
+    * ln(n) - sum / (n * 1e6).
+    */
+  def charEntropyParts(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.CharEntropyPartsExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

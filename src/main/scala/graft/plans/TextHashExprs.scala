@@ -312,6 +312,32 @@ object TextHashBridge {
     }
     n
   }
+
+  /** [n, sum_i c_i * rint(ln(c_i) * 1e6)] over the BYTE histogram of the
+    * string — the exact-integer parts of the Shannon entropy
+    * H = ln(n) - (1/n) * sum c_i ln c_i. Only the final combination is
+    * float (on exact integers, identical in any engine); the per-symbol
+    * micro-logs are order-free integer sums. Byte == character on this
+    * ASCII corpus (documented: byte entropy for multi-byte inputs).
+    */
+  def charEntropyParts(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    var n = 0L
+    var sum = 0L
+    var j = 0
+    while (j < 256) {
+      val c = counts(j)
+      if (c > 0) {
+        n += c
+        sum += c.toLong * math.rint(math.log(c.toDouble) * 1e6).toLong
+      }
+      j += 1
+    }
+    new GenericArrayData(Array[Any](n, sum))
+  }
 }
 
 /** `word_count(text)` — whitespace-token count as a native codegen'd
@@ -328,6 +354,25 @@ case class WordCountExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.wordCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): WordCountExpr =
+    copy(child = newChild)
+}
+
+/** `char_entropy_parts(text)` — [n, micro-log sum] of the byte histogram
+  * in one compiled scan (see [[TextHashBridge.charEntropyParts]]); the
+  * caller combines them into Shannon entropy with one ln + one division
+  * on exact integers.
+  */
+case class CharEntropyPartsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_entropy_parts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.charEntropyParts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.charEntropyParts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyPartsExpr =
     copy(child = newChild)
 }
 

@@ -248,4 +248,28 @@ class TextHashExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*("),
       "hashed-gram family fell out of whole-stage codegen:\n" + p.take(800))
   }
+
+  test("char_entropy_parts matches a driver-side byte histogram") {
+    import spark.implicits._
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select($"text")
+      .union(Seq("", "aaaa", "ab", "a b\tc", "solo").toDF("text"))
+      .select($"text", charEntropyParts($"text").as("p")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val counts = r.getString(0).getBytes("UTF-8")
+        .groupBy(b => b & 0xff).view.mapValues(_.length.toLong).toMap
+      val n = counts.values.sum
+      val sm = counts.values
+        .map(c => c * math.rint(math.log(c.toDouble) * 1e6).toLong).sum
+      assert(r.getSeq[Long](1) == Seq(n, sm),
+        s"entropy parts mismatch for '${r.getString(0).take(40)}'")
+    }
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(charEntropyParts($"text").as("p"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      "char_entropy_parts fell out of whole-stage codegen:\n" + p.take(800))
+  }
 }
