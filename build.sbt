@@ -17,6 +17,12 @@ run / fork := true
 // driver's BENCH_r*.json showed the result line as `[info] {...}` —
 // present but unparseable — in every previous round).
 run / outputStrategy := Some(StdoutOutput)
+// ... and keep sbt's own "[success] Total time" summary off stdout: a
+// consumer that parses the LAST stdout line must see the program's final
+// JSON emission, not sbt's epilogue (r1/r2 artifacts ended with the
+// summary line and parsed null despite the JSON being present above it).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

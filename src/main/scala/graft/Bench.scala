@@ -134,17 +134,29 @@ object Bench {
     Worker(pb.start(), logFile)
   }
 
-  /** Wait for a worker and return its measured end-to-end seconds. */
-  private def awaitSeconds(w: Worker): Double = {
+  /** A worker trial's measured seconds: the full timed job and its
+    * extract-phase share (the job minus the fixed lineage-rollup tail,
+    * from the worker's BENCH_PHASES stderr line — used only by the
+    * labeled quick-gate estimate, where the fixed tail dominates).
+    */
+  private final case class TrialTimes(total: Double, extract: Double)
+
+  private def awaitTimes(w: Worker): TrialTimes = {
     w.process.waitFor()
     val out = try Files.readString(Paths.get(w.logFile)) catch { case _: Throwable => "" }
-    "BENCH_SECONDS=([0-9.]+)".r.findFirstMatchIn(out) match {
+    val total = "BENCH_SECONDS=([0-9.]+)".r.findFirstMatchIn(out) match {
       case Some(m) => m.group(1).toDouble
       case None =>
         System.err.println(s"[bench] worker failed:\n${out.takeRight(2000)}")
         Double.MaxValue
     }
+    val extract = "BENCH_PHASES extract=([0-9.]+)".r.findFirstMatchIn(out)
+      .map(_.group(1).toDouble).getOrElse(total)
+    TrialTimes(total, extract)
   }
+
+  /** Wait for a worker and return its measured end-to-end seconds. */
+  private def awaitSeconds(w: Worker): Double = awaitTimes(w).total
 
   /** Did a worker trial actually finish? [[awaitSeconds]] returns
     * Double.MaxValue on failure; a failed trial must be DISCARDED, never
@@ -337,6 +349,7 @@ object Bench {
     var sizeRatioV: Option[Double] = None
     var saltedSecsV: Option[Double] = None
     var probesJsonV: Option[String] = None
+    var quickJsonV: Option[String] = None
     var gateTrialsRun = 0
     var rawTrialsRun = 0
     var sizeTrialsRun = 0
@@ -378,7 +391,7 @@ object Bench {
       val cuts = budgetCut.reverse.map(s => "\"" + s + "\"")
         .mkString("[", ",", "]")
       val json =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","phase":"$phase","complete":$complete,"budget_s":$budgetS,"elapsed_s":${elapsedS}%.0f,"extract_turns":$totalTurns,"cores_n":$execCores,"cores_4n":$cpus,"gate_trials":$gateTrialsRun,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thr4NEmuV)},"scaling_efficiency":${jd(effV)},"scaling_efficiency_paired_median":${jd(effMedV)},"gate_met":$gateMet,"scaling_efficiency_raw_concurrent":${jd(rawEffV)},"scaling_efficiency_raw_cleanest":${jd(rawEffBestV)},"salted_throughput":${jthr(saltedThr)},"scaling_pairs":$pairs,"probes":${probesJsonV.getOrElse("null")},"budget_cut":$cuts}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","phase":"$phase","complete":$complete,"budget_s":$budgetS,"elapsed_s":${elapsedS}%.0f,"extract_turns":$totalTurns,"cores_n":$execCores,"cores_4n":$cpus,"gate_trials":$gateTrialsRun,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thr4NEmuV)},"scaling_efficiency":${jd(effV)},"scaling_efficiency_paired_median":${jd(effMedV)},"gate_met":$gateMet,"scaling_efficiency_raw_concurrent":${jd(rawEffV)},"scaling_efficiency_raw_cleanest":${jd(rawEffBestV)},"salted_throughput":${jthr(saltedThr)},"scaling_pairs":$pairs,"gate_quick":${quickJsonV.getOrElse("null")},"probes":${probesJsonV.getOrElse("null")},"budget_cut":$cuts}"""
       System.err.flush()
       // leading newline: stderr log lines are not guaranteed to end
       // flush-aligned, and a JSON line glued to a log tail is unparseable
@@ -391,8 +404,74 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
-    // ---- phase 1: catalog queries at full parallelism -------------------
+    val physGb = {
+      val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      bean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          (b.getTotalMemorySize / (1L << 30)).toInt
+        case _ => 48
+      }
+    }
+    // every emulated node gets the same JVM heap — a node's RAM does not
+    // change with cluster size (the 4N configuration having 4x AGGREGATE
+    // memory is real cluster behavior, not an artifact)
+    val execHeap = math.max(2, math.min(12, physGb / (2 * nExec)))
+    val fullHeap = math.max(2, math.min(24, physGb / 2))
+
+    // First parseable line within seconds of main start: whatever instant
+    // a driver-side timeout kills this run (r3's artifact was rc:124 at
+    // ~200 s wall, parsed:null — killed before the first emission), the
+    // stdout already parses.
+    emit("init", complete = false)
+
+    // ---- phase 0: REDUCED QUICK GATE (runs first, labeled) --------------
+    // One trial of the scaling-gate geometry on a ~1/8-size table, so a
+    // short driver kill window still captures a gate ESTIMATE. Genuinely
+    // reduced, and biased DOWN: every share repays the per-job fixed tail
+    // (setup + commit + lineage rollup, ~2-3 s) that the real single 4N
+    // job pays once — at this input size the shares run only ~5-8 s, so
+    // that tail dominates. Both the raw figure and the extract-phase-only
+    // figure (same arms, fixed tail excluded) are reported; the full-input
+    // gate below (shares ~30+ s, tail immaterial) is authoritative and
+    // overrides these in every later emission.
+    val quickConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUICK_CONVS",
+      "250000").toInt
     val s1 = session(cpus)
+    if (quickConvs > 0) {
+      val qGiant = math.max(1, (giant.toLong * quickConvs / benchConvs).toInt)
+      val qBase = Files.createTempDirectory("graft-bench-quick").toString
+      try {
+        val qTable = s"$qBase/table"
+        TranscriptsTable.appendSnapshot(s1, qTable, 1, 0, quickConvs, qGiant,
+          buckets = cpus, rowGroupBytes = Some(Defaults.RowGroupBytes))
+        val qTurns = graft.gen.TranscriptGen.totalTurns(quickConvs, qGiant)
+        val f = awaitTimes(startWorker(qTable, s"$qBase/full", execCores,
+          "unsalted", 0, execHeap))
+        val qs = (0 until nExec).map { q =>
+          awaitTimes(startWorker(qTable, s"$qBase/q$q", execCores,
+            mode = s"quarter:$q:$nExec", coreOffset = 0, heapGb = execHeap))
+        }
+        if (ok(f.total) && qs.forall(t => ok(t.total))) {
+          val effRaw = f.total / (nExec * qs.map(_.total).max)
+          val effExtract = f.extract / (nExec * qs.map(_.extract).max)
+          quickJsonV = Some(
+            f"""{"reduced":true,"trials":1,"convs":$quickConvs,"turns":$qTurns,"full_s":${f.total}%.2f,"share_s":${fmtList(qs.map(_.total))},"eff_raw":$effRaw%.3f,"extract_full_s":${f.extract}%.2f,"extract_share_s":${fmtList(qs.map(_.extract))},"eff_extract_phase":$effExtract%.3f,"throughput_n":${qTurns / f.total}%.0f,"throughput_4n_emulated":${qTurns / qs.map(_.total).max}%.0f,"note":"single reduced-input trial; shares repay the fixed per-job tail the real 4N job pays once (biases eff_raw DOWN); the full-input gate figures are authoritative"}""")
+          System.err.println(
+            f"[bench] quick gate: full ${f.total}%.2fs; shares " +
+              qs.map(t => f"${t.total}%.2f").mkString("/") +
+              f"s; eff_raw $effRaw%.3f, eff_extract $effExtract%.3f")
+        } else {
+          System.err.println("[bench] quick gate DISCARDED (worker failure)")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] quick gate failed: $e")
+      } finally {
+        try deleteRecursively(Paths.get(qBase)) catch { case _: Throwable => () }
+      }
+      emit("quick-gate", complete = false)
+    }
+
+    // ---- phase 1: catalog queries at full parallelism -------------------
     if (!skipQueries) {
       // discarded warmup pass: the first timed queries otherwise absorb
       // JVM/codegen/parquet-footer warmup and misrank the table
@@ -408,7 +487,8 @@ object Bench {
             // warmup-pollutes-first-timed-query artifact
             System.err.println(s"[bench] WARNING: warmup query '$w' missing")
         }
-      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val resBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         // best-of-2 per query: a throughput claim, so the min is the
         // honest figure against this host's one-sided noise episodes
         // (run 1 of 2026-08-17 recorded dd_embedding_lsh at 102 s and
@@ -429,7 +509,12 @@ object Bench {
         // norm, one extra rep is cheap insurance against recording a
         // noise episode as a query cost
         if (t >= 10.0 && remainingS > 60) t = math.min(t, rep())
-        name -> t
+        resBuf += (name -> t)
+        // re-render the result line after EVERY query: a driver kill at
+        // any instant of this (multi-minute) phase still leaves the
+        // partial catalog parseable
+        results = resBuf.toSeq
+        emit("catalog", complete = false)
       }
     }
     emit("catalog", complete = false)
@@ -483,20 +568,6 @@ object Bench {
       buckets = cpus, rowGroupBytes = Some(Defaults.RowGroupBytes))
     s1.stop()
     totalTurns = graft.gen.TranscriptGen.totalTurns(benchConvs, giant)
-
-    val physGb = {
-      val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      bean match {
-        case b: com.sun.management.OperatingSystemMXBean =>
-          (b.getTotalMemorySize / (1L << 30)).toInt
-        case _ => 48
-      }
-    }
-    // every emulated node gets the same JVM heap — a node's RAM does not
-    // change with cluster size (the 4N configuration having 4x AGGREGATE
-    // memory is real cluster behavior, not an artifact)
-    val execHeap = math.max(2, math.min(12, physGb / (2 * nExec)))
-    val fullHeap = math.max(2, math.min(24, physGb / 2))
 
     // ---- microbench evidence block (committed with the record) ----------
     // DVFS probe: fixed single-core spin, idle box vs 31-core busy-spin
