@@ -425,17 +425,37 @@ object Bench {
     emit("init", complete = false)
 
     // ---- phase 0: REDUCED QUICK GATE (runs first, labeled) --------------
-    // One trial of the scaling-gate geometry on a ~1/8-size table, so a
-    // short driver kill window still captures a gate ESTIMATE. Genuinely
+    // One trial of the scaling-gate geometry on a small table, so a short
+    // driver kill window still captures a gate ESTIMATE. Genuinely
     // reduced, and biased DOWN: every share repays the per-job fixed tail
     // (setup + commit + lineage rollup, ~2-3 s) that the real single 4N
-    // job pays once — at this input size the shares run only ~5-8 s, so
+    // job pays once — at this input size the shares run only ~4-8 s, so
     // that tail dominates. Both the raw figure and the extract-phase-only
     // figure (same arms, fixed tail excluded) are reported; the full-input
     // gate below (shares ~30+ s, tail immaterial) is authoritative and
     // overrides these in every later emission.
+    //
+    // SIZED FOR THE KILL WINDOW: the r3 driver killed the run at ~200 s
+    // wall (BENCH_r03.json rc:124, sbt-JVM GC uptime ~190 s at the tail)
+    // — at the old 250k-conv default the quick gate alone (tablegen +
+    // 5 worker JVMs) needed ~340 s after ~40 s of sbt+session startup,
+    // so nothing substantive was ever captured. 32k convs puts the first
+    // complete gate estimate at ~2 min of wall clock, and the per-ARM
+    // emissions below land partial figures even earlier.
     val quickConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUICK_CONVS",
-      "250000").toInt
+      "32000").toInt
+    // a stale ~12 GiB table from an earlier killed run can ENOSPC this
+    // phase — sweep leftovers BEFORE generating our own (phase 2 sweeps
+    // again for its own, larger, table)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmp0 = Paths.get(System.getProperty("java.io.tmpdir"))
+      val stale0 = Files.list(tmp0)
+      try stale0.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("graft-bench"))
+        .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+      finally stale0.close()
+    } catch { case _: Throwable => () }
     val s1 = session(cpus)
     if (quickConvs > 0) {
       val qGiant = math.max(1, (giant.toLong * quickConvs / benchConvs).toInt)
@@ -447,9 +467,22 @@ object Bench {
         val qTurns = graft.gen.TranscriptGen.totalTurns(quickConvs, qGiant)
         val f = awaitTimes(startWorker(qTable, s"$qBase/full", execCores,
           "unsalted", 0, execHeap))
+        // partial emission after the full arm: a kill during the share
+        // arms still leaves the single-node throughput on stdout
+        if (ok(f.total)) {
+          quickJsonV = Some(
+            f"""{"reduced":true,"partial":true,"trials":1,"convs":$quickConvs,"turns":$qTurns,"full_s":${f.total}%.2f,"throughput_n":${qTurns / f.total}%.0f}""")
+          emit("quick-gate", complete = false)
+        }
         val qs = (0 until nExec).map { q =>
-          awaitTimes(startWorker(qTable, s"$qBase/q$q", execCores,
+          val t = awaitTimes(startWorker(qTable, s"$qBase/q$q", execCores,
             mode = s"quarter:$q:$nExec", coreOffset = 0, heapGb = execHeap))
+          if (ok(f.total) && ok(t.total)) {
+            quickJsonV = Some(
+              f"""{"reduced":true,"partial":true,"trials":1,"convs":$quickConvs,"turns":$qTurns,"full_s":${f.total}%.2f,"shares_done":${q + 1},"throughput_n":${qTurns / f.total}%.0f}""")
+            emit("quick-gate", complete = false)
+          }
+          t
         }
         if (ok(f.total) && qs.forall(t => ok(t.total))) {
           val effRaw = f.total / (nExec * qs.map(_.total).max)
@@ -487,33 +520,40 @@ object Bench {
             // warmup-pollutes-first-timed-query artifact
             System.err.println(s"[bench] WARNING: warmup query '$w' missing")
         }
-      val resBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-        // best-of-2 per query: a throughput claim, so the min is the
-        // honest figure against this host's one-sided noise episodes
-        // (run 1 of 2026-08-17 recorded dd_embedding_lsh at 102 s and
-        // ta_langid at 69 s — 20x their clean times — because a
-        // multi-minute episode covered the catalog phase)
-        def rep(): Double = {
-          val q0 = System.nanoTime()
-          // foreach materializes every column — count() would let the
-          // optimizer prune away the projected work being measured
-          try { fn(s1, sfDir).foreach(_ => ()) }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - q0) / 1e9
-        }
-        var t = (1 to 2).map(_ => rep()).min
+      def rep(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        val q0 = System.nanoTime()
+        // foreach materializes every column — count() would let the
+        // optimizer prune away the projected work being measured
+        try { fn(s1, sfDir).foreach(_ => ()) }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - q0) / 1e9
+      }
+      val catalogSeq = SparkEntry.queries.toSeq.sortBy(_._1)
+      val resMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      // PASS 1 — one rep per query, emitted after EVERY query: under a
+      // short driver kill window, one measurement of many queries beats
+      // two measurements of half of them
+      for ((name, fn) <- catalogSeq) {
+        resMap(name) = rep(name, fn)
+        results = resMap.toSeq
+        emit("catalog", complete = false)
+      }
+      // PASS 2 — refine to best-of-2 while the budget holds: a throughput
+      // claim, so the min is the honest figure against this host's
+      // one-sided noise episodes (run 1 of 2026-08-17 recorded
+      // dd_embedding_lsh at 102 s and ta_langid at 69 s — 20x their clean
+      // times — because a multi-minute episode covered the catalog phase)
+      for ((name, fn) <- catalogSeq if remainingS > 120) {
+        var t = math.min(resMap(name), rep(name, fn))
         // a multi-minute episode can still cover BOTH reps of one entry
         // (the 16:04 record stamped ta_bigram_typicality at 42 s vs its
         // ~3 s clean time): when the best-of-2 is far above the catalog
         // norm, one extra rep is cheap insurance against recording a
         // noise episode as a query cost
-        if (t >= 10.0 && remainingS > 60) t = math.min(t, rep())
-        resBuf += (name -> t)
-        // re-render the result line after EVERY query: a driver kill at
-        // any instant of this (multi-minute) phase still leaves the
-        // partial catalog parseable
-        results = resBuf.toSeq
+        if (t >= 10.0 && remainingS > 60) t = math.min(t, rep(name, fn))
+        resMap(name) = t
+        results = resMap.toSeq
         emit("catalog", complete = false)
       }
     }
