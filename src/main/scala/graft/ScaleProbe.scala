@@ -85,7 +85,8 @@ object ScaleProbe {
       "dd_decontaminate", "ta_gopher_repetition", "dd_repeated_ngram_mask",
       "ta_tfidf_topk", "ta_lm_perplexity", "ta_dsir_weights",
       "ta_ccnet_bucket", "ta_domain_mix", "ta_length_quantiles",
-      "dd_semdedup")
+      "dd_semdedup", "lt_table_cells", "ta_fix_encoding",
+      "ta_token_budget_pick", "dd_incremental_history")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes

@@ -833,6 +833,57 @@ object Extract {
   def detectSignatureFull(text: String, spans: Seq[LayoutSpan]): Boolean =
     detectSignatureGeometry(spans) || detectSignature(text)
 
+  /** Positioned layout span: page-normalized top-left corner of a text
+    * block from a layout-parsing source (the geometry the reference's
+    * Textract TABLE/CELL blocks carry — `EthansCode/Ethan_PDFandJPG3.py`
+    * consumes Textract's pre-aligned CELL rows/columns; with a raw layout
+    * source the alignment itself is ours to compute).
+    */
+  final case class PosSpan(x: Double, y: Double, text: String)
+
+  /** Table-cell alignment from positioned layout spans: reconstruct the
+    * (row, column) grid that a set of positioned text blocks visually
+    * forms — the Textract-TABLE analog over raw layout geometry.
+    *
+    * Row assignment: spans sorted by (y, x, text); a new row starts when
+    * the y-gap to the previous span exceeds `rowGap` (1-D single-linkage
+    * clustering on sorted coordinates — deterministic, no iteration).
+    * Column assignment: the distinct x positions of the whole table are
+    * clustered the same way with `colGap`; a span's column is its
+    * x-cluster's rank. Ragged tables (missing cells) keep their column
+    * identity because columns are derived from the table-wide x profile,
+    * not per-row order. Returns (row, col, text) sorted by (row, col,
+    * text).
+    *
+    * Row-local per document (one conversation/page's spans fit in memory
+    * by construction), so the operator is embarrassingly parallel — the
+    * 100 TB shape is a flatMap, no shuffle.
+    */
+  def tableCells(spans: Seq[PosSpan], rowGap: Double = 0.02,
+      colGap: Double = 0.05): Seq[(Int, Int, String)] = {
+    if (spans.isEmpty) return Seq.empty
+    val byY = spans.sortBy(s => (s.y, s.x, s.text))
+    val rowIds = new Array[Int](byY.length)
+    var r = 0
+    var i = 1
+    while (i < byY.length) {
+      if (byY(i).y - byY(i - 1).y > rowGap) r += 1
+      rowIds(i) = r
+      i += 1
+    }
+    val xs = spans.map(_.x).distinct.sorted
+    val colOf = scala.collection.mutable.HashMap.empty[Double, Int]
+    var c = 0
+    var j = 0
+    while (j < xs.length) {
+      if (j > 0 && xs(j) - xs(j - 1) > colGap) c += 1
+      colOf(xs(j)) = c
+      j += 1
+    }
+    byY.indices.map(i => (rowIds(i), colOf(byY(i).x), byY(i).text))
+      .sortBy(t => (t._1, t._2, t._3))
+  }
+
   // -------------------------------------------------------------------------
   // Confidence (A1/A2).
   // -------------------------------------------------------------------------

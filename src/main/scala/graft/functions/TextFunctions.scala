@@ -353,4 +353,26 @@ object TextFunctions {
       when(s === best && best > 0, lang).otherwise(acc)
     }
   }
+
+  /** Mojibake repair table (ftfy-style, the high-frequency subset): each
+    * pair maps a UTF-8-bytes-decoded-as-Latin-1 sequence back to the
+    * intended character. Applied IN ORDER (the order is part of the
+    * contract — oracle SQL is generated from this same constant). Web
+    * crawls carry these constantly; a dedup/quality pipeline that
+    * doesn't normalize them counts "CafÃ©" and "Café" as different
+    * documents.
+    */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä", "Ã¯" -> "ï",
+    "â€™" -> "’", "â€œ" -> "“")
+
+  /** Apply [[MojibakePairs]] as a chained replace — every stage is a
+    * codegen'd string op, so the whole repair stays inside one
+    * WholeStageCodegen span. Row-local, shuffle-free at any scale.
+    */
+  def fixMojibake(c: Column): Column =
+    MojibakePairs.foldLeft(c) { case (acc, (bad, good)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+    }
 }

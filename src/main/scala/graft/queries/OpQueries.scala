@@ -855,7 +855,82 @@ object OpQueries {
       Some("""SELECT doc_id,
              |  CASE WHEN doc_id % 4 = 0 THEN 'true' ELSE 'false' END AS sig_geometry,
              |  CASE WHEN doc_id % 4 <= 1 THEN 'true' ELSE 'false' END AS sig_full
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Table-cell alignment from positioned layout spans (north star:
+    // Textract TABLE/CELL reconstruction over raw geometry —
+    // EthansCode/Ethan_PDFandJPG3.py:318-346 consumes Textract's
+    // pre-aligned CELL RowIndex/ColumnIndex; here the alignment is
+    // computed from span positions). Constructed per-doc pseudo-tables:
+    // 2-4 rows x 2-3 columns with deterministic sub-gap jitter on every
+    // coordinate and ~1/5 of cells dropped (ragged), so the oracle pins
+    // that (a) jittered positions still cluster to the true grid, (b) a
+    // missing cell does NOT shift its row-mates' column ids (columns come
+    // from the table-wide x profile, not per-row order), (c) rows whose
+    // every cell was dropped disappear and later row ids shift. The
+    // DuckDB oracle REPLAYS the same 1-D gap clustering with window
+    // functions, so the algorithm — not just the output — is pinned.
+    // Spark shape: row-local flatMap per document, no shuffle except the
+    // final presentation sort.
+    "lt_table_cells" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.extract.Extract.PosSpan
+        rd(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .flatMap { id =>
+            val nr = 2 + (id % 3).toInt
+            val nc = 2 + (id % 2).toInt
+            val spans = for {
+              r <- 0 until nr
+              c <- 0 until nc
+              if (id + r + c) % 5 != 0
+            } yield PosSpan(
+              0.08 + c * 0.22 + ((id + r * 3 + c * 7) % 10) * 0.002,
+              0.1 + r * 0.06 + ((id * 2 + r + c * 5) % 10) * 0.0015,
+              s"cell_${r}_$c")
+            Extract.tableCells(spans).map { case (ri, ci, t) =>
+              (id, ri.toLong, ci.toLong, t)
+            }
+          }
+          .toDF("doc_id", "row_idx", "col_idx", "txt")
+          .orderBy("doc_id", "row_idx", "col_idx", "txt")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, 2 + doc_id % 3 AS nr, 2 + doc_id % 2 AS nc
+             |  FROM documents),
+             |spans AS (
+             |  SELECT doc_id,
+             |    0.08 + c * 0.22 + ((doc_id + r * 3 + c * 7) % 10) * 0.002 AS x,
+             |    0.1 + r * 0.06 + ((doc_id * 2 + r + c * 5) % 10) * 0.0015 AS y,
+             |    'cell_' || r || '_' || c AS txt
+             |  FROM base, generate_series(0, 3) AS gr(r),
+             |       generate_series(0, 2) AS gc(c)
+             |  WHERE r < nr AND c < nc AND (doc_id + r + c) % 5 <> 0),
+             |rk AS (
+             |  SELECT doc_id, x, y, txt,
+             |    CASE WHEN y - lag(y) OVER (PARTITION BY doc_id ORDER BY y, x, txt) > 0.02
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM spans),
+             |rr AS (
+             |  SELECT doc_id, x, txt,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY y, x, txt
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS row_idx
+             |  FROM rk),
+             |xs AS (SELECT DISTINCT doc_id, x FROM spans),
+             |xk AS (
+             |  SELECT doc_id, x,
+             |    CASE WHEN x - lag(x) OVER (PARTITION BY doc_id ORDER BY x) > 0.05
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM xs),
+             |xc AS (
+             |  SELECT doc_id, x,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS col_idx
+             |  FROM xk)
+             |SELECT rr.doc_id, CAST(row_idx AS BIGINT) AS row_idx,
+             |  CAST(col_idx AS BIGINT) AS col_idx, txt
+             |FROM rr JOIN xc ON rr.doc_id = xc.doc_id AND rr.x = xc.x
+             |ORDER BY rr.doc_id, row_idx, col_idx, txt""".stripMargin))
   )
 
   /** Shared gate shape for the reference query banks: Spark runs the

@@ -1616,6 +1616,156 @@ object PipelineQueries {
              |  COALESCE(CASE WHEN COALESCE(s.n, 0) > 0
              |    THEN round(ln(s.n) - s.sm / (s.n * 1000000.0), 6) END
              |    BETWEEN 2.67 AND 3.5, FALSE) AS keep
-             |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+             |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // Mojibake repair (ftfy-style): fix UTF-8-read-as-Latin-1 sequences
+    // before any dedup/quality stage — "CafÃ©" and "Café" must hash the
+    // same. The corpus itself is ASCII, so each doc gets a deterministic
+    // dirty suffix (4 mojibake families + 1 clean control by doc_id % 5);
+    // the oracle replays the identical replace chain, generated from the
+    // SAME MojibakePairs constant, so ordering drift between the two
+    // sides is impossible. Row-local codegen'd string ops, shuffle-free.
+    "ta_fix_encoding" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val dirty =
+          when($"doc_id" % 5 === 0, lit("CafÃ© rÃ©sumÃ©"))
+            .when($"doc_id" % 5 === 1, lit("itâ€™s â€œquoted fine"))
+            .when($"doc_id" % 5 === 2, lit("naÃ¯ve niÃ±o maÃ±ana"))
+            .when($"doc_id" % 5 === 3, lit("grÃ¼n schÃ¶n spÃ¤t"))
+            .otherwise(lit("clean ascii line"))
+        val payload = concat($"text", lit(" "), dirty)
+        rd(s, d, "documents")
+          .select($"doc_id", payload.as("payload"))
+          .select($"doc_id", fixMojibake($"payload").as("fixed"),
+            (fixMojibake($"payload") =!= $"payload").as("was_mojibake"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val cases =
+          """CASE WHEN doc_id % 5 = 0 THEN 'CafÃ© rÃ©sumÃ©'
+            |  WHEN doc_id % 5 = 1 THEN 'itâ€™s â€œquoted fine'
+            |  WHEN doc_id % 5 = 2 THEN 'naÃ¯ve niÃ±o maÃ±ana'
+            |  WHEN doc_id % 5 = 3 THEN 'grÃ¼n schÃ¶n spÃ¤t'
+            |  ELSE 'clean ascii line' END""".stripMargin
+        val fixed = MojibakePairs.foldLeft("payload") {
+          case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+        }
+        s"""WITH p AS (SELECT doc_id, text || ' ' || $cases AS payload
+           |  FROM documents)
+           |SELECT doc_id, $fixed AS fixed,
+           |  $fixed <> payload AS was_mojibake
+           |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality-ranked selection under a token budget — "fill 1/3 of the
+    // corpus's tokens with the best documents". NOT a global sort-and-
+    // running-sum (a single global window is the anti-pattern at 10^12
+    // rows): phase 1 aggregates token mass per 0.01-wide quality bucket
+    // (<=101 rows — the only global window runs over THAT, not the data)
+    // and locates the threshold bucket B*; phase 2 takes every doc above
+    // B* with a plain filter and breaks the tie INSIDE B* with a window
+    // confined to that one bucket. At scale, if the boundary bucket is
+    // still too heavy for one partition, the same two-phase step recurses
+    // on a finer bucket key (floor(q*1e4)) — the topology is unchanged.
+    // The oracle replays both phases, so the selection topology is
+    // pinned, not just the chosen rows.
+    "ta_token_budget_pick" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val scored = rd(s, d, "documents")
+          .select($"doc_id".cast("long").as("doc_id"),
+            wsTokenCount($"text").cast("long").as("n_tok"),
+            qualityScore($"text").as("q"))
+          .withColumn("qb", floor($"q" * 100).cast("long"))
+        val tot = scored.agg(
+          floor(sum($"n_tok") / 3).cast("long").as("budget"))
+        val bs = scored.groupBy($"qb").agg(sum($"n_tok").as("s"))
+        // <=101 bucket rows: the single-partition window is over the
+        // bucket SUMMARY, never the documents
+        val bp = bs.withColumn("p", sum($"s").over(
+          Window.orderBy($"qb".desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bst = bp.crossJoin(broadcast(tot)).agg(
+          max(when($"p" > $"budget", $"qb")).as("bstar"),
+          min(when($"p" > $"budget", $"p" - $"s")).as("prevp"),
+          max($"budget").as("budget"))
+        val wq = scored.crossJoin(broadcast(bst))
+        val full = wq.filter($"bstar".isNull || $"qb" > $"bstar")
+          .select($"doc_id", $"n_tok", $"q")
+        val wB = Window.partitionBy($"qb")
+          .orderBy($"q".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundary = wq.filter($"qb" === $"bstar")
+          .withColumn("cum", sum($"n_tok").over(wB))
+          .filter($"cum" <= $"budget" - $"prevp")
+          .select($"doc_id", $"n_tok", $"q")
+        full.union(boundary).orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (${sqlQualityFrom("documents")}),
+              |sc AS (SELECT doc_id,
+              |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)) AS BIGINT) AS n_tok,
+              |    $sqlQualityExpr AS q
+              |  FROM t),
+              |s2 AS (SELECT doc_id, n_tok, q,
+              |    CAST(floor(q * 100) AS BIGINT) AS qb FROM sc),
+              |tot AS (SELECT CAST(floor(sum(n_tok) / 3) AS BIGINT) AS budget FROM s2),
+              |bs AS (SELECT qb, sum(n_tok) AS s FROM s2 GROUP BY qb),
+              |bp AS (SELECT qb, s, sum(s) OVER (ORDER BY qb DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM bs),
+              |bst AS (SELECT max(CASE WHEN p > budget THEN qb END) AS bstar,
+              |    min(CASE WHEN p > budget THEN p - s END) AS prevp,
+              |    max(budget) AS budget
+              |  FROM bp, tot),
+              |sel AS (
+              |  SELECT s2.doc_id, s2.n_tok, s2.q FROM s2, bst
+              |  WHERE bst.bstar IS NULL OR s2.qb > bst.bstar
+              |  UNION ALL
+              |  SELECT doc_id, n_tok, q FROM (
+              |    SELECT s2.doc_id, s2.n_tok, s2.q,
+              |      sum(s2.n_tok) OVER (PARTITION BY s2.qb
+              |        ORDER BY s2.q DESC, s2.doc_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              |      bst.budget - bst.prevp AS rem
+              |    FROM s2, bst WHERE s2.qb = bst.bstar)
+              |  WHERE cum <= rem)
+              |SELECT doc_id, n_tok, q FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // Incremental dedup of a NEW snapshot against the accumulated
+    // HISTORY corpus — the production shape of continuous-crawl
+    // ingestion (history 10^12 rows, new batch much smaller). The Bloom
+    // filter is built DISTRIBUTED with Spark's own BloomFilterAggregate
+    // (map-side partials + binary merge — the runtime-filter machinery,
+    // no driver-side construction) and broadcast back; `false` probes
+    // are definitive non-members (Bloom has no false negatives) and skip
+    // the join entirely, so only the maybe-dup sliver pays the exact
+    // hash anti-join. Output is EXACTLY the anti-join result regardless
+    // of the filter's false-positive rate — the oracle pins that.
+    "dd_incremental_history" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.plans.BloomExprs._
+        val base = rd(s, d, "documents")
+          .select($"doc_id".cast("long").as("doc_id"), md5($"text").as("h"))
+        val hist = base.filter($"doc_id" % 5 =!= 0)
+        val nw = base.filter($"doc_id" % 5 === 0)
+        val bloom = hist.agg(bloomAgg($"h", 100000L).as("bf"))
+        // scalar-subquery wiring (InjectRuntimeFilter's shape): the
+        // one-row bloom aggregate evaluates once, its binary becomes a
+        // per-query constant for the probe
+        val probed = nw
+          .withColumn("maybe", bloomMightContainSubquery(bloom, $"h"))
+        val definiteNew = probed.filter(!$"maybe").select($"doc_id", $"h")
+        val verifiedNew = probed.filter($"maybe").select($"doc_id", $"h")
+          .join(hist.select($"h").distinct(), Seq("h"), "left_anti")
+          .select($"doc_id", $"h")
+        definiteNew.union(verifiedNew).orderBy($"doc_id")
+      },
+      Some("""SELECT n.doc_id, md5(n.text) AS h FROM documents n
+             |WHERE n.doc_id % 5 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM documents h2
+             |  WHERE h2.doc_id % 5 <> 0 AND md5(h2.text) = md5(n.text))
+             |ORDER BY n.doc_id""".stripMargin))
   )
 }

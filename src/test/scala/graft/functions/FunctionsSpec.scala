@@ -119,4 +119,22 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(polyHash($"t", 64).as("h")).as[Long].collect()
     assert(h(0) == h(2) && h(0) != h(1))
   }
+
+  test("fixMojibake repairs every table entry and leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "CafÃ© dÃ©jÃ¡ itâ€™s â€œfine naÃ¯ve grÃ¼n" ->
+        "Café déjá it’s “fine naïve grün",
+      "plain ascii stays put" -> "plain ascii stays put",
+      // already-correct UTF-8 must not be double-"fixed"
+      "Café fine’ line" -> "Café fine’ line")
+    val out = rows.map(_._1).toDF("t")
+      .select(fixMojibake($"t").as("f")).as[String].collect()
+    assert(out.toSeq === rows.map(_._2))
+    // dedup motivation: mojibake and clean forms hash identically after
+    // the repair
+    val pair = Seq("CafÃ© rÃ©sumÃ©", "Café résumé").toDF("t")
+      .select(md5(fixMojibake($"t")).as("h")).as[String].collect()
+    assert(pair(0) === pair(1))
+  }
 }
