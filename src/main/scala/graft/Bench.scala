@@ -135,7 +135,7 @@ object Bench {
   }
 
   /** A worker trial's measured seconds: the full timed job and its
-    * extract-phase share (the job minus the fixed lineage-rollup tail,
+    * extract-phase share (the job minus the driver-local lineage write,
     * from the worker's BENCH_PHASES stderr line — used only by the
     * labeled quick-gate estimate, where the fixed tail dominates).
     */
@@ -187,7 +187,7 @@ object Bench {
   object Defaults {
     val SfDir = "/root/testdata/sf0.1"
     def Cpus: Int = Runtime.getRuntime.availableProcessors()
-    // large enough that per-job fixed tails (setup + commit + lineage,
+    // large enough that per-job fixed tails (setup + commit,
     // ~2-3 s) stay small against the shortest gate arm (~20 s)
     val BenchConvs = 2000000
     val Giant = 80000
@@ -428,7 +428,7 @@ object Bench {
     // One trial of the scaling-gate geometry on a small table, so a short
     // driver kill window still captures a gate ESTIMATE. Genuinely
     // reduced, and biased DOWN: every share repays the per-job fixed tail
-    // (setup + commit + lineage rollup, ~2-3 s) that the real single 4N
+    // (setup + commit, ~1-2 s; lineage is in-pass since r4) that the real single 4N
     // job pays once — at this input size the shares run only ~4-8 s, so
     // that tail dominates. Both the raw figure and the extract-phase-only
     // figure (same arms, fixed tail excluded) are reported; the full-input
@@ -878,7 +878,8 @@ object Bench {
            |per-trial median of eff_i = T_full(i)/($nExec x max_share(i)),
            |which bounds what estimator choice could hide; both must
            |clear 0.8. Conservative by construction: every share pays the
-           |full per-job tail (setup + commit + lineage) that the real
+           |full per-job tail (setup + commit; lineage is collected
+           |in-pass by the write job's accumulator) that the real
            |single 4N job pays once, and the static split forgoes the
            |dynamic task balancing a real 4-executor job gets.
            |

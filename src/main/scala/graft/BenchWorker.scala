@@ -28,7 +28,7 @@ import graft.engine.{ExtractJob, TranscriptsTable}
   *    4N configuration is emulated by running each node's share
   *    sequentially on the same idle 8-core slice and taking the MAX
   *    share time as the 4N wall clock. Each share pays the full per-job
-  *    fixed tail (setup + commit + lineage) that the real single 4N job
+  *    fixed tail (setup + commit) that the real single 4N job
   *    pays only once, biasing the measured efficiency DOWN (conservative).
   *
   */
@@ -101,16 +101,17 @@ object BenchWorker {
           .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     }
     val t0 = System.nanoTime()
+    val acc = new ExtractJob.LineageAccumulator
+    spark.sparkContext.register(acc, "graft-bench-lineage")
     val results = ExtractJob.extract(spark, turns, salted, 16,
-      presorted = !salted)
+      presorted = !salted, lineageAcc = Some(acc))
     results.write.mode("overwrite").parquet(outDir)
     val tExtract = System.nanoTime()
-    val written = spark.read.parquet(outDir)
-    ExtractJob.lineage(spark, written, "bench", 1)
+    // lineage comes from the write job's own accumulator — no second scan
+    // of the output; the remaining tail is one driver-local tiny write
+    ExtractJob.lineageFromStats(spark, acc.value, "bench", 1)
       .write.mode("overwrite").parquet(s"$outDir-lineage")
     val secs = (System.nanoTime() - t0) / 1e9
-    // phase split on stderr: the parallel extract job vs the lineage
-    // rollup (a small fixed-cost follow-up job)
     System.err.println(
       f"BENCH_PHASES extract=${(tExtract - t0) / 1e9}%.3f " +
         f"lineage=${(System.nanoTime() - tExtract) / 1e9}%.3f")

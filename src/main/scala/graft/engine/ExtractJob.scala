@@ -46,10 +46,66 @@ final case class ResultRow(
   *    of serializing one straggler.
   *  - Classifier/regex state is compiled once per JVM (object init), not
   *    per row — the mapPartitions batching the north rule asks for.
-  *  - Lineage is a per-partition rollup of the already-written results
-  *    (column-pruned scan of status only) — a KB-scale shuffle.
+  *  - Lineage is collected DURING the write (a [[LineageAccumulator]]
+  *    registered per extract task at iterator exhaustion) — the output is
+  *    never re-scanned. At 100 TB the alternative (a second job over the
+  *    written results) re-reads the entire output for KB of counters.
   */
 object ExtractJob {
+
+  /** One partition's lineage stat, collected inside the extract task. */
+  final case class PartitionLineage(
+      partitionId: Int, inputFiles: Seq[String],
+      turnCount: Long, okCount: Long, failCount: Long)
+
+  /** Replace-merge accumulator keyed by partition id, filled during the
+    * extract/write job so lineage needs NO second scan of the output.
+    *
+    * Why this is exact despite living in a transformation: the stat is
+    * registered only at iterator EXHAUSTION (a task that dies mid-partition
+    * never contributes a partial count), extraction is deterministic per
+    * partition, and `add`/`merge` REPLACE by partition id — so a retried or
+    * speculative task re-registers a byte-identical value and double
+    * application is idempotent. The committed files and the accumulated
+    * stats therefore describe the same rows.
+    *
+    * Driver memory is O(#partitions) — one small row per task, the same
+    * order as the task metrics the driver already tracks per stage.
+    */
+  final class LineageAccumulator
+      extends org.apache.spark.util.AccumulatorV2[
+        PartitionLineage, Map[Int, PartitionLineage]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, PartitionLineage]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): LineageAccumulator = {
+      val c = new LineageAccumulator; c.m ++= m; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: PartitionLineage): Unit = m(v.partitionId) = v
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        PartitionLineage, Map[Int, PartitionLineage]]): Unit =
+      other.value.foreach { case (k, v) => m(k) = v }
+    override def value: Map[Int, PartitionLineage] = m.toMap
+  }
+
+  /** Lineage row in its sink schema (matches [[lineage]]'s output). */
+  final case class LineageRow(
+      run_id: String, snapshot_id: Long, partition_id: Int,
+      input_files: Seq[String], turn_count: Long, ok_count: Long,
+      fail_count: Long)
+
+  /** Accumulated stats → the lineage table, driver-local (KB scale).
+    * Empty partitions are dropped to match [[lineage]]'s groupBy shape.
+    */
+  def lineageFromStats(spark: SparkSession,
+      stats: Map[Int, PartitionLineage], runId: String,
+      snapshotId: Long): DataFrame = {
+    import spark.implicits._
+    stats.values.filter(_.turnCount > 0).toSeq.sortBy(_.partitionId)
+      .map(s => LineageRow(runId, snapshotId, s.partitionId, s.inputFiles,
+        s.turnCount, s.okCount, s.failCount))
+      .toDS().toDF()
+  }
 
   /** Schemas for recovering typed columns from the JSON sink form:
     * `from_json(col("sections"), SectionsSchema)` /
@@ -76,9 +132,14 @@ object ExtractJob {
     *        of each conversation are contiguous and sorted within every
     *        file) — skip the secondary sort; each row-copy avoided matters
     *        at 100 TB. Only valid with `salted = false`.
+    * @param lineageAcc when set, each task registers its partition's
+    *        lineage stat at iterator exhaustion, so the caller gets the
+    *        per-partition rollup from the SAME pass that wrote the rows
+    *        (see [[LineageAccumulator]] for the exactness argument).
     */
   def extract(spark: SparkSession, turns: DataFrame, salted: Boolean,
-      saltBuckets: Int, presorted: Boolean = false): Dataset[ResultRow] = {
+      saltBuckets: Int, presorted: Boolean = false,
+      lineageAcc: Option[LineageAccumulator] = None): Dataset[ResultRow] = {
     import spark.implicits._
     val withFile = turns
       .select(col("conv_id"), col("turn_idx"), col("text"),
@@ -94,19 +155,56 @@ object ExtractJob {
       .as[TurnSlim]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        it.map { t =>
+        val mapped = it.map { t =>
           val e = Extract.extractTurn(t.conv_id, t.turn_idx, t.text)
           ResultRow(e.conv_id, e.turn_idx, e.doc_type, e.extracted_text,
             Extract.sectionsToJson(e.sections), Extract.fieldsToJson(e.fields),
             Extract.fieldsToJson(e.field_src),
             e.signature_present, e.confidence, e.status, pid, t.input_file)
         }
+        lineageAcc match {
+          case None => mapped
+          case Some(acc) =>
+            // per-row bookkeeping must stay out of the hot loop's way:
+            // rows arrive file-contiguous, so one equals against the
+            // previous row's file replaces a per-row set insert, and the
+            // distinct+sort runs once at exhaustion over a handful of
+            // entries
+            new Iterator[ResultRow] {
+              private var turns = 0L
+              private var ok = 0L
+              private var lastFile: String = null
+              private var files = List.empty[String]
+              private var registered = false
+              override def hasNext: Boolean = {
+                val h = mapped.hasNext
+                if (!h && !registered) {
+                  registered = true
+                  acc.add(PartitionLineage(pid,
+                    files.distinct.sorted, turns, ok, turns - ok))
+                }
+                h
+              }
+              override def next(): ResultRow = {
+                val r = mapped.next()
+                turns += 1
+                if (r.status == "ok") ok += 1
+                val f = r.input_file
+                if ((f ne lastFile) && f != lastFile) files ::= f
+                lastFile = f
+                r
+              }
+            }
+        }
       }
   }
 
-  /** Per-partition lineage rows (north rule): partition id, input files,
-    * turn/ok/fail counts. Computed from the written results so the counts
-    * describe exactly what was durably committed.
+  /** Per-partition lineage rows (north rule) RECOMPUTED from a results
+    * DataFrame — the audit variant, for verifying a committed snapshot
+    * after the fact. The production path ([[runSnapshot]]) collects the
+    * identical rows during the write via [[LineageAccumulator]] and never
+    * re-scans the output; this recompute costs a full (column-pruned)
+    * second scan and exists to cross-check it.
     */
   def lineage(spark: SparkSession, results: DataFrame, runId: String,
       snapshotId: Long): DataFrame =
@@ -140,21 +238,27 @@ object ExtractJob {
     }
   }
 
-  /** Process one snapshot: extract → write results → write lineage →
-    * atomic commit marker. Output paths are snapshot-scoped and written
-    * with overwrite, so a retry after a crash before the marker is
-    * idempotent (exactly-once per snapshot without ACID tables).
+  /** Process one snapshot: extract → write results (lineage accumulated
+    * in the same job) → write lineage → atomic commit marker. Output
+    * paths are snapshot-scoped and written with overwrite, so a retry
+    * after a crash before the marker is idempotent (exactly-once per
+    * snapshot without ACID tables). The whole snapshot costs ONE pass
+    * over the input — lineage and the committed-turn count come from the
+    * [[LineageAccumulator]] filled by the write job's own tasks, not a
+    * second scan of the output.
     */
   def runSnapshot(spark: SparkSession, cfg: Config,
       snap: TranscriptsTable.SnapshotRef): Long = {
     val turns = TranscriptsTable.readSnapshot(spark, snap)
     // the snapshot read IS the bucketed sorted layout -> presorted path
     // (zero shuffle, no secondary-sort row copy) unless salting is on
+    val acc = new LineageAccumulator
+    spark.sparkContext.register(acc, s"graft-lineage-snapshot-${snap.id}")
     val results = extract(spark, turns, cfg.salted, cfg.saltBuckets,
-      presorted = !cfg.salted)
+      presorted = !cfg.salted, lineageAcc = Some(acc))
     val resPath = s"${cfg.outDir}/results/snapshot=${snap.id}"
     Sinks.writeParquet(results.toDF(), resPath)
-    val written = spark.read.parquet(resPath)
+    val stats = acc.value
     // Default mirror is AT-LEAST-ONCE: a crash between this append and
     // the commit marker re-runs the snapshot and re-appends. Rows carry
     // snapshot_id so a consumer (or a MERGE-capable load job) can dedupe
@@ -163,18 +267,17 @@ object ExtractJob {
     // record stays exactly-once via overwrite + marker. `staged` mirrors
     // into a per-snapshot staging table with overwrite-on-replay instead,
     // making consumer-side dedup optional (Sinks.mirrorToJdbcStaged).
+    // (The mirror re-reads the written parquet — config-gated, and the
+    // mirror needs the durably committed rows, not the plan.)
     cfg.jdbc.foreach { j =>
-      val withSnap = written.withColumn("snapshot_id",
+      val withSnap = spark.read.parquet(resPath).withColumn("snapshot_id",
         org.apache.spark.sql.functions.lit(snap.id))
       if (j.staged) Sinks.mirrorToJdbcStaged(withSnap, j, snap.id)
       else Sinks.mirrorToJdbc(withSnap, j)
     }
-    val lin = lineage(spark, written, cfg.runId, snap.id)
-    lin.write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
-    // turn count from the (tiny) lineage table, not a second results scan;
-    // coalesce: sum over an empty snapshot's lineage is null, not 0
-    val n = spark.read.parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
-      .agg(coalesce(sum("turn_count"), lit(0L))).head().getLong(0)
+    lineageFromStats(spark, stats, cfg.runId, snap.id)
+      .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage/snapshot=${snap.id}")
+    val n = stats.valuesIterator.map(_.turnCount).sum
     // temp+rename commit record — the resume checkpoint
     val marker = commitMarker(cfg.outDir, snap.id)
     Files.createDirectories(marker.getParent)

@@ -126,6 +126,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // input_files recorded
     val files = lin.select("input_files").as[Seq[String]].collect().flatten
     assert(files.exists(_.contains("snapshot=1")))
+    // the single-pass (accumulator) lineage written by runSnapshot must
+    // equal the audit recompute over the committed results, row for row
+    val audit = ExtractJob.lineage(spark,
+      spark.read.parquet(s"$out/results/snapshot=1"), cfg.runId, 1L)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("run_id", "snapshot_id", "partition_id", "input_files",
+        "turn_count", "ok_count", "fail_count")
+      .collect().map(_.toString).sorted.toVector
+    assert(key(lin) == key(audit),
+      "accumulator lineage differs from the audit recompute")
   }
 
   test("readAll spans multiple snapshots (sibling snapshot= roots, one table)") {
