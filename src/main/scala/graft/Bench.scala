@@ -176,6 +176,26 @@ object Bench {
     Files.deleteIfExists(p)
   }
 
+  /** Remove leftover graft-bench temp dirs from EARLIER runs only: a dir
+    * younger than 30 minutes may be the live table of a concurrently
+    * running bench (or this one's, when the two sweep sites overlap), so
+    * the age cut is what makes the sweep safe to run unconditionally.
+    */
+  private def sweepStaleBenchDirs(): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      val stale = Files.list(tmp)
+      try stale.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("graft-bench"))
+        .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff
+                     catch { case _: Throwable => false })
+        .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+      finally stale.close()
+    } catch { case _: Throwable => () }
+  }
+
   private def pinnedTrial(tableDir: String, outDir: String, cores: Int,
       mode: String = "unsalted", heapGb: Int = 24): Double =
     awaitSeconds(startWorker(tableDir, outDir, cores, mode, 0, heapGb))
@@ -447,15 +467,7 @@ object Bench {
     // a stale ~12 GiB table from an earlier killed run can ENOSPC this
     // phase — sweep leftovers BEFORE generating our own (phase 2 sweeps
     // again for its own, larger, table)
-    try {
-      import scala.jdk.CollectionConverters._
-      val tmp0 = Paths.get(System.getProperty("java.io.tmpdir"))
-      val stale0 = Files.list(tmp0)
-      try stale0.iterator().asScala.toList
-        .filter(_.getFileName.toString.startsWith("graft-bench"))
-        .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
-      finally stale0.close()
-    } catch { case _: Throwable => () }
+    sweepStaleBenchDirs()
     val s1 = session(cpus)
     if (quickConvs > 0) {
       val qGiant = math.max(1, (giant.toLong * quickConvs / benchConvs).toInt)
@@ -474,7 +486,10 @@ object Bench {
             f"""{"reduced":true,"partial":true,"trials":1,"convs":$quickConvs,"turns":$qTurns,"full_s":${f.total}%.2f,"throughput_n":${qTurns / f.total}%.0f}""")
           emit("quick-gate", complete = false)
         }
-        val qs = (0 until nExec).map { q =>
+        // a failed full arm discards the whole gate — running the share
+        // workers anyway would burn ~4x share time of the short driver
+        // kill window this phase is sized for
+        val qs = (0 until (if (ok(f.total)) nExec else 0)).map { q =>
           val t = awaitTimes(startWorker(qTable, s"$qBase/q$q", execCores,
             mode = s"quarter:$q:$nExec", coreOffset = 0, heapGb = execHeap))
           if (ok(f.total) && ok(t.total)) {
@@ -582,14 +597,7 @@ object Bench {
     // exact failure of the 2026-08-18 01:xx run). Sweep leftovers from
     // earlier/killed runs before claiming our own dir, and check headroom.
     val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
-    try {
-      import scala.jdk.CollectionConverters._
-      val stale = Files.list(tmpRoot)
-      try stale.iterator().asScala.toList
-        .filter(_.getFileName.toString.startsWith("graft-bench"))
-        .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
-      finally stale.close()
-    } catch { case _: Throwable => () }
+    sweepStaleBenchDirs()
     val usableGb = tmpRoot.toFile.getUsableSpace >> 30
     val lowDisk = usableGb < 40
     if (lowDisk) {

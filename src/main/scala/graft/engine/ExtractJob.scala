@@ -166,22 +166,23 @@ object ExtractJob {
           case None => mapped
           case Some(acc) =>
             // per-row bookkeeping must stay out of the hot loop's way:
-            // rows arrive file-contiguous, so one equals against the
-            // previous row's file replaces a per-row set insert, and the
-            // distinct+sort runs once at exhaustion over a handful of
-            // entries
+            // on the presorted path rows arrive file-contiguous, so one
+            // equals against the previous row's file skips everything;
+            // non-contiguous orders (the salted path interleaves files at
+            // every conversation boundary) fall through to a HashSet probe,
+            // keeping memory O(distinct files) instead of O(transitions)
             new Iterator[ResultRow] {
               private var turns = 0L
               private var ok = 0L
               private var lastFile: String = null
-              private var files = List.empty[String]
+              private val files = new scala.collection.mutable.HashSet[String]
               private var registered = false
               override def hasNext: Boolean = {
                 val h = mapped.hasNext
                 if (!h && !registered) {
                   registered = true
                   acc.add(PartitionLineage(pid,
-                    files.distinct.sorted, turns, ok, turns - ok))
+                    files.toList.sorted, turns, ok, turns - ok))
                 }
                 h
               }
@@ -190,7 +191,7 @@ object ExtractJob {
                 turns += 1
                 if (r.status == "ok") ok += 1
                 val f = r.input_file
-                if ((f ne lastFile) && f != lastFile) files ::= f
+                if ((f ne lastFile) && f != lastFile) files += f
                 lastFile = f
                 r
               }

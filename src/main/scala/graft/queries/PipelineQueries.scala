@@ -746,15 +746,20 @@ object PipelineQueries {
           .withColumn("max_err", when($"scale" > 0.0, round(
             array_max(zip_with($"v", $"q",
               (x, qi) => abs(x - qi.cast("double") * $"scale"))), 6)))
-          .select($"vec_id", round($"scale", 6).as("scale_r"), $"q", $"max_err")
+          // the quantized vector is emitted as a canonical CSV string, not
+          // a raw array<int>: the driver's pandas hasher can't sort arrays
+          // (same serialization r9_phone_sweep uses for its match list)
+          .select($"vec_id", round($"scale", 6).as("scale_r"),
+            array_join(transform($"q", _.cast("string")), ",").as("q_str"),
+            $"max_err")
           .orderBy($"vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |s AS (SELECT vec_id, v,
              |  list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale FROM e)
              |SELECT vec_id, round(scale, 6) AS scale_r,
-             |  CASE WHEN scale > 0 THEN
-             |    list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS q,
+             |  CASE WHEN scale > 0 THEN array_to_string(
+             |    list_transform(v, x -> CAST(CAST(round(x / scale) AS INTEGER) AS VARCHAR)), ',') END AS q_str,
              |  CASE WHEN scale > 0 THEN round(list_max(list_transform(v, x ->
              |    abs(x - CAST(CAST(round(x / scale) AS INTEGER) AS DOUBLE) * scale))), 6) END AS max_err
              |FROM s ORDER BY vec_id""".stripMargin)),
@@ -795,6 +800,38 @@ object PipelineQueries {
            |  ${feat(1)} AS f1
            |FROM src ORDER BY doc_id""".stripMargin
       }),
+
+    // REAL byte parsing behind the multimodal stage: payloads are actual
+    // PNG signature+IHDR bytes (Multimodal.pngBytes — spec-valid, with
+    // two deterministic corruption families), and the engine answer
+    // comes from PngHeaderDecoder PARSING those bytes back: signature
+    // compare, big-endian field reads, CRC-32 verification. The oracle
+    // recomputes what the writer encoded arithmetically — a parser bug
+    // (endianness, offset, CRC coverage) breaks the hash match.
+    "mm_png_header" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ids = rd(s, d, "documents").select($"doc_id")
+        val media = Multimodal.pngMediaFrom(s, ids)
+        val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
+          decoder = Multimodal.PngHeaderDecoder).toDF()
+        val sig = element_at($"features", 1) === 1.0
+        dec.select($"doc_id", sig.as("valid_sig"),
+            when(sig, element_at($"features", 2).cast("int")).as("width"),
+            when(sig, element_at($"features", 3).cast("int")).as("height"),
+            when(sig, element_at($"features", 4).cast("int")).as("bit_depth"),
+            when(sig, element_at($"features", 5).cast("int")).as("color_type"),
+            when(sig, element_at($"features", 6) === 1.0).as("crc_ok"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  doc_id % 11 <> 0 AS valid_sig,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 640 AS INTEGER) END AS width,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 480 AS INTEGER) END AS height,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST([0, 2, 3, 4, 6][CAST(doc_id % 5 AS INTEGER) + 1] AS INTEGER) END AS color_type,
+             |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 13 <> 0 END AS crc_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---------------- Text analysis ----------------
 
@@ -1421,21 +1458,55 @@ object PipelineQueries {
 
     // CCNet's other half: after the perplexity score, CCNet SPLITS each
     // language's corpus into head/middle/tail TERTILES by perplexity and
-    // trains preferentially on the head. Exact per-language tertiles via
-    // ntile(3) over (lang, nll, doc_id) — deterministic total order, so
-    // both engines assign identical buckets. Scale shape: the tertile
-    // window needs a per-language total order — Spark range-partitions
-    // the sort, but ntile still gathers each language into one partition;
-    // the 100 TB path swaps the exact ntile for broadcast nll cutoffs
-    // from approx_percentile (documented approximation), keeping this
-    // exact form as the small-scale oracle of record.
+    // trains preferentially on the head. The DEFINITION is ntile(3) over
+    // (lang, nll, doc_id) — a per-language total order, which at 100 TB
+    // with an 80%-English corpus would serialize the corpus through one
+    // task. The engine therefore computes the IDENTICAL assignment with
+    // the ta_token_budget_pick two-phase topology: phase 1 aggregates
+    // counts per 0.001-wide nll bucket (floor(nll*1000) — order-monotone
+    // in nll, bounded key space at ANY corpus size), runs the cumulative
+    // walk over that <=~20k-row summary, and derives the two tertile
+    // boundary positions k1/k2 from exact ntile arithmetic; phase 2
+    // assigns buckets that sit wholly inside one tertile by broadcast-
+    // join comparison, and breaks only the <=2 boundary buckets per
+    // language with a window confined to those buckets. The ORACLE stays
+    // the exact one-window ntile definition — the hash match is the
+    // proof that the bounded topology computes the exact semantics.
     "ta_ccnet_bucket" -> Entry(
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        lmNllFrame(s, d).filter($"n_tok" > 0)
-          .withColumn("tile", ntile(3).over(
-            Window.partitionBy($"lang").orderBy($"nll", $"doc_id")))
+        val base = lmNllFrame(s, d).filter($"n_tok" > 0)
+          .select($"doc_id", $"lang", $"nll")
+          .withColumn("qb", floor($"nll" * 1000).cast("long"))
+        // phase 1: bounded per-(lang, nll-bucket) summary; every window
+        // below this point ranges over the summary, never the documents
+        val bs = base.groupBy($"lang", $"qb").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy($"lang").orderBy($"qb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // ntile(3) group sizes: floor(n/3) (+1 for the first n%3 groups)
+        // => tile-1 rows are positions 1..k1, tile-2 rows k1+1..k2
+        val bp = bs
+          .withColumn("cum", sum($"c").over(wCum))
+          .withColumn("n", sum($"c").over(Window.partitionBy($"lang")))
+          .withColumn("lo", $"cum" - $"c" + lit(1L))
+          .withColumn("k1", floor($"n" / 3.0) + least($"n" % 3, lit(1L)))
+          .withColumn("k2", floor($"n" / 3.0) * 2 + least($"n" % 3, lit(2L)))
+        def tileOf(pos: Column): Column =
+          when(pos <= $"k1", 1).when(pos <= $"k2", 2).otherwise(3)
+        val meta = bp
+          .withColumn("t_lo", tileOf($"lo"))
+          .withColumn("t_hi", tileOf($"cum"))
+          .select($"lang", $"qb", $"lo", $"k1", $"k2", $"t_lo", $"t_hi")
+        // phase 2: per-bucket metadata broadcast back onto the documents
+        val joined = base.join(broadcast(meta), Seq("lang", "qb"))
+        val uniform = joined.filter($"t_lo" === $"t_hi")
+          .select($"doc_id", $"lang", $"nll", $"t_lo".as("tile"))
+        val wB = Window.partitionBy($"lang", $"qb").orderBy($"nll", $"doc_id")
+        val boundary = joined.filter($"t_lo" =!= $"t_hi")
+          .withColumn("pos", $"lo" - lit(1L) + row_number().over(wB))
+          .select($"doc_id", $"lang", $"nll", tileOf($"pos").as("tile"))
+        uniform.unionByName(boundary)
           .select($"doc_id", $"lang", $"nll",
             when($"tile" === 1, "head").when($"tile" === 2, "middle")
               .otherwise("tail").as("ppl_bucket"))
@@ -1542,27 +1613,33 @@ object PipelineQueries {
 
     // Per-source token-length profile: exact DISCRETE quantiles (the
     // k = ceil(p * n)-th smallest, type-1 — integer selection, no
-    // interpolation arithmetic to disagree on). Scale shape: one window
-    // shuffle per source partition; the 100 TB path swaps row_number for
-    // approx_percentile's broadcast sketch when a source no longer fits
-    // a partition (documented approximation), keeping this exact form as
-    // the oracle of record.
+    // interpolation arithmetic to disagree on). The DEFINITION is a
+    // row_number over each source's total order; the engine computes the
+    // identical values from a bounded per-source token-count HISTOGRAM
+    // (count per distinct n_tok — bounded by max document length, not by
+    // corpus size): the k-th smallest integer is the least n_tok whose
+    // cumulative count reaches k, so one map-side-combined agg plus a
+    // cumulative walk over the summary replaces the per-source document
+    // sort. The windows below range over the summary only — never the
+    // documents. The ORACLE stays the exact row_number definition; the
+    // hash match proves the histogram selection computes it.
     "ta_length_quantiles" -> Entry(
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val docs = rd(s, d, "documents")
-          .select($"doc_id", $"source", wsTokenCount($"text").cast("long").as("n_tok"))
-        val byLen = Window.partitionBy($"source").orderBy($"n_tok", $"doc_id")
-        val whole = Window.partitionBy($"source")
-        docs
-          .withColumn("rn", row_number().over(byLen).cast("long"))
-          .withColumn("n", count(lit(1)).over(whole))
+          .select($"source", wsTokenCount($"text").cast("long").as("n_tok"))
+        val hist = docs.groupBy($"source", $"n_tok").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy($"source").orderBy($"n_tok")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cum", sum($"c").over(wCum))
+          .withColumn("n", sum($"c").over(Window.partitionBy($"source")))
           .groupBy($"source")
-          .agg(count(lit(1)).as("n_docs"),
-            max(when($"rn" === ceil($"n" * 0.5), $"n_tok")).as("p50"),
-            max(when($"rn" === ceil($"n" * 0.9), $"n_tok")).as("p90"),
-            max(when($"rn" === ceil($"n" * 0.99), $"n_tok")).as("p99"))
+          .agg(max($"n").as("n_docs"),
+            min(when($"cum" >= ceil($"n" * 0.5), $"n_tok")).as("p50"),
+            min(when($"cum" >= ceil($"n" * 0.9), $"n_tok")).as("p90"),
+            min(when($"cum" >= ceil($"n" * 0.99), $"n_tok")).as("p99"))
           .orderBy($"source")
       },
       Some("""WITH d AS (SELECT doc_id, source,
@@ -1750,7 +1827,13 @@ object PipelineQueries {
           .select($"doc_id".cast("long").as("doc_id"), md5($"text").as("h"))
         val hist = base.filter($"doc_id" % 5 =!= 0)
         val nw = base.filter($"doc_id" % 5 === 0)
-        val bloom = hist.agg(bloomAgg($"h", 100000L).as("bf"))
+        // size the filter from the actual table cardinality (parquet
+        // count is a metadata-only job), not a constant: a fixed 100k at
+        // a 10^9-row history would drive the false-positive rate to ~1
+        // and silently degrade the prefilter to the plain anti-join
+        val expected = math.max(100000L,
+          rd(s, d, "documents").count())
+        val bloom = hist.agg(bloomAgg($"h", expected).as("bf"))
         // scalar-subquery wiring (InjectRuntimeFilter's shape): the
         // one-row bloom aggregate evaluates once, its binary becomes a
         // per-query constant for the probe

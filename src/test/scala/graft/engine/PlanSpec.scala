@@ -202,6 +202,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("quantile operators never window over the documents") {
+    // ta_ccnet_bucket and ta_length_quantiles compute exact per-key
+    // quantile semantics (pinned by their ntile/row_number oracles) from
+    // BOUNDED summaries. The scale-killer shape is a Window partitioned
+    // by the key alone ranging over the raw corpus (one task per
+    // language/source). Allowed windows: (a) over an aggregated summary
+    // (an Aggregate grouping by >= 2 keys sits below), or (b) confined
+    // to a finer >= 2-column partition key (the boundary buckets).
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (q <- Seq("ta_ccnet_bucket", "ta_length_quantiles")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w
+      }
+      assert(wins.nonEmpty, s"$q lost its summary windows entirely")
+      wins.foreach { w =>
+        val fine = w.partitionSpec.size >= 2
+        val overSummary = w.child.collectFirst {
+          case a: logical.Aggregate if a.groupingExpressions.size >= 2 => a
+        }.nonEmpty
+        assert(fine || overSummary,
+          s"$q has a corpus-ranging window partitioned by " +
+            s"${w.partitionSpec.mkString(",")}:\n" + w.toString.take(1500))
+      }
+      assert(!plan(df).toLowerCase.contains("ntile"),
+        s"$q still plans the per-key ntile total order")
+    }
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)

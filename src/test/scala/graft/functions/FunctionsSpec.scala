@@ -113,6 +113,37 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "features depend on partitioning")
   }
 
+  test("png header decoder really parses bytes: fields, corruption arms, crc") {
+    // round-trip: pngBytes writes a spec-valid header, the decoder reads
+    // it back by actual byte parsing (not by recomputing the arithmetic)
+    for (id <- 0L to 200L) {
+      val f = Multimodal.PngHeaderDecoder
+        .decodeBatch(Seq(Multimodal.MediaRow(id, "image/png",
+          Multimodal.pngBytes(id)))).head.features
+      if (id % 11 == 0) {
+        assert(f(0) == 0.0 && f(1) == -1.0, s"id=$id: corrupt sig not detected")
+      } else {
+        assert(f(0) == 1.0 && f(1) == (1 + id % 640) &&
+          f(2) == (1 + id % 480) && f(3) == 8.0 &&
+          f(4) == Array(0, 2, 3, 4, 6)((id % 5).toInt), s"id=$id: bad fields")
+        assert(f(5) == (if (id % 13 == 0) 0.0 else 1.0),
+          s"id=$id: crc verdict wrong")
+      }
+    }
+    // a flipped IHDR data byte (not covered by the corruption families)
+    // must fail ONLY the crc — proves the crc is computed, not assumed
+    val b = Multimodal.pngBytes(1L)
+    b(20) = (b(20) ^ 0x01).toByte // height high byte
+    val f = Multimodal.PngHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(1L, "image/png", b))).head.features
+    assert(f(0) == 1.0 && f(5) == 0.0, "data corruption not caught by crc")
+    // truncated payload: no crash, invalid
+    val t = Multimodal.pngBytes(2L).take(20)
+    assert(Multimodal.PngHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(2L, "image/png", t))).head
+      .features(0) == 0.0)
+  }
+
   test("polyHash is order-sensitive and deterministic") {
     import spark.implicits._
     val h = Seq("abc", "acb", "abc").toDF("t")
