@@ -200,6 +200,60 @@ object Bench {
       mode: String = "unsalted", heapGb: Int = 24): Double =
     awaitSeconds(startWorker(tableDir, outDir, cores, mode, 0, heapGb))
 
+  /** Bench tables are deterministic functions of their generation
+    * parameters, so a table from an earlier run on this box is
+    * bit-identical and reusable. Tablegen is a few hundred seconds of
+    * the default budget — skipping it on a cache hit is what lets the
+    * full 5-trial gate design complete inside the round driver's capture
+    * window (the r4 driver artifact self-cut to 3 trials). The cache
+    * lives OUTSIDE the graft-bench sweep prefix; a `_complete` marker
+    * written after an atomic rename makes a half-generated cache
+    * invisible; caches older than 24 h are expired.
+    */
+  private def cachedTable(spark: org.apache.spark.sql.SparkSession,
+      convs: Int, giant: Int, buckets: Int): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val key = s"graft-table-cache-$convs-$giant-$buckets-${Defaults.RowGroupBytes}"
+    val dir = Paths.get(tmp, key)
+    val marker = dir.resolve("_complete")
+    try {
+      import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val ls = Files.list(Paths.get(tmp))
+      try ls.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("graft-table-cache-"))
+        .filter(p => try Files.getLastModifiedTime(p).toMillis < cutoff
+                     catch { case _: Throwable => false })
+        .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+      finally ls.close()
+    } catch { case _: Throwable => () }
+    if (Files.exists(marker)) {
+      System.err.println(s"[bench] reusing cached bench table $dir")
+      return s"$dir/table"
+    }
+    def gen(into: String): Unit =
+      TranscriptsTable.appendSnapshot(spark, s"$into/table", 1, 0, convs,
+        giant, buckets = buckets, rowGroupBytes = Some(Defaults.RowGroupBytes))
+    // no room for a persistent copy: generate into a sweep-scoped dir
+    if ((Paths.get(tmp).toFile.getUsableSpace >> 30) < 30) {
+      val base = Files.createTempDirectory("graft-bench-table").toString
+      gen(base)
+      return s"$base/table"
+    }
+    try deleteRecursively(dir) catch { case _: Throwable => () } // marker-less leftover
+    val stage = Paths.get(tmp, s"$key.building-${ProcessHandle.current().pid()}")
+    try deleteRecursively(stage) catch { case _: Throwable => () }
+    gen(stage.toString)
+    try {
+      Files.move(stage, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.createFile(marker)
+      s"$dir/table"
+    } catch { case _: Throwable =>
+      // another run won the publish race — our staged copy is still valid
+      s"$stage/table"
+    }
+  }
+
   /** The full-run configuration — the ONLY source of truth for both the
     * env-var defaults and the record-refresh guard, so changing a default
     * can never silently disable the refresh (it changes the guard with it).
@@ -368,12 +422,14 @@ object Bench {
     var thrFullV: Option[Double] = None
     var sizeRatioV: Option[Double] = None
     var saltedSecsV: Option[Double] = None
+    var saltedNSecsV: Option[Double] = None
     var probesJsonV: Option[String] = None
     var quickJsonV: Option[String] = None
     var gateTrialsRun = 0
     var rawTrialsRun = 0
     var sizeTrialsRun = 0
     var saltedTrialsRun = 0
+    var saltedNTrialsRun = 0
     var budgetCut: List[String] = Nil
 
     def fmtList(xs: Seq[Double]): String =
@@ -411,7 +467,7 @@ object Bench {
       val cuts = budgetCut.reverse.map(s => "\"" + s + "\"")
         .mkString("[", ",", "]")
       val json =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","phase":"$phase","complete":$complete,"budget_s":$budgetS,"elapsed_s":${elapsedS}%.0f,"extract_turns":$totalTurns,"cores_n":$execCores,"cores_4n":$cpus,"gate_trials":$gateTrialsRun,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thr4NEmuV)},"scaling_efficiency":${jd(effV)},"scaling_efficiency_paired_median":${jd(effMedV)},"gate_met":$gateMet,"scaling_efficiency_raw_concurrent":${jd(rawEffV)},"scaling_efficiency_raw_cleanest":${jd(rawEffBestV)},"salted_throughput":${jthr(saltedThr)},"scaling_pairs":$pairs,"gate_quick":${quickJsonV.getOrElse("null")},"probes":${probesJsonV.getOrElse("null")},"budget_cut":$cuts}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","phase":"$phase","complete":$complete,"budget_s":$budgetS,"elapsed_s":${elapsedS}%.0f,"extract_turns":$totalTurns,"cores_n":$execCores,"cores_4n":$cpus,"gate_trials":$gateTrialsRun,"throughput_n":${jthr(thrSingleV)},"throughput_4n":${jthr(thr4NEmuV)},"scaling_efficiency":${jd(effV)},"scaling_efficiency_paired_median":${jd(effMedV)},"gate_met":$gateMet,"scaling_efficiency_raw_concurrent":${jd(rawEffV)},"scaling_efficiency_raw_cleanest":${jd(rawEffBestV)},"salted_throughput":${jthr(saltedThr)},"salted_secs":${jd(saltedSecsV)},"salted_n_secs":${jd(saltedNSecsV)},"scaling_pairs":$pairs,"gate_quick":${quickJsonV.getOrElse("null")},"probes":${probesJsonV.getOrElse("null")},"budget_cut":$cuts}"""
       System.err.flush()
       // leading newline: stderr log lines are not guaranteed to end
       // flush-aligned, and a JSON line glued to a log tail is unparseable
@@ -473,9 +529,7 @@ object Bench {
       val qGiant = math.max(1, (giant.toLong * quickConvs / benchConvs).toInt)
       val qBase = Files.createTempDirectory("graft-bench-quick").toString
       try {
-        val qTable = s"$qBase/table"
-        TranscriptsTable.appendSnapshot(s1, qTable, 1, 0, quickConvs, qGiant,
-          buckets = cpus, rowGroupBytes = Some(Defaults.RowGroupBytes))
+        val qTable = cachedTable(s1, quickConvs, qGiant, buckets = cpus)
         val qTurns = graft.gen.TranscriptGen.totalTurns(quickConvs, qGiant)
         val f = awaitTimes(startWorker(qTable, s"$qBase/full", execCores,
           "unsalted", 0, execHeap))
@@ -607,13 +661,11 @@ object Bench {
       budgetCut ::= s"low_disk=${usableGb}GiB"
     }
     val benchBase = Files.createTempDirectory("graft-bench").toString
-    val tableDir = s"$benchBase/table"
     // small parquet row groups so scan granularity matches the production
     // shape (many row groups per bucket -> splits within a bucket; at one
     // row group per bucket, the giant conversation's bucket is an
     // artificially indivisible straggler task) — see appendSnapshot
-    TranscriptsTable.appendSnapshot(s1, tableDir, 1, 0, benchConvs, giant,
-      buckets = cpus, rowGroupBytes = Some(Defaults.RowGroupBytes))
+    val tableDir = cachedTable(s1, benchConvs, giant, buckets = cpus)
     s1.stop()
     totalTurns = graft.gen.TranscriptGen.totalTurns(benchConvs, giant)
 
@@ -789,6 +841,32 @@ object Bench {
     }
     if (rawTrialsRun == 0) budgetCut ::= "raw_cluster=skipped-or-failed"
 
+    // ---- salted at the gate executor shape (crossover completion) -------
+    // With the gate's full arm (presorted local[execCores]) and the
+    // executor-size arm (presorted local[cpus]), this completes the 2x2
+    // presorted-vs-salted table the record's deployment guidance cites.
+    // Scheduled LAST: a diagnostic, never allowed to crowd out the
+    // sections above under a short budget.
+    var saltedNAttempts = 0
+    var saltedNFailed = 0
+    while (saltedNAttempts < 2 &&
+        (saltedNAttempts < 1 || remainingS > fullArmEst * 2.6 + 60) &&
+        remainingS > fullArmEst * 1.3 + 30) {
+      val t = pinnedTrial(tableDir, s"$benchBase/outSaltedN", execCores,
+        "salted", heapGb = execHeap)
+      saltedNAttempts += 1
+      if (ok(t)) {
+        System.err.println(f"[bench] salted trial local[$execCores]: $t%.2fs")
+        saltedNSecsV = Some(math.min(saltedNSecsV.getOrElse(Double.MaxValue), t))
+        saltedNTrialsRun += 1
+      } else {
+        saltedNFailed += 1
+        System.err.println(
+          s"[bench] salted local[$execCores] trial DISCARDED (worker failure)")
+      }
+    }
+    if (saltedNTrialsRun == 0) budgetCut ::= "salted_n=skipped-or-failed"
+
     emit("final", complete = true)
 
     // our temp table/outputs are no longer needed for the md render below;
@@ -818,8 +896,8 @@ object Bench {
       // ANY worker failure marks the box unhealthy for the whole run (the
       // surviving trials likely ran beside the same ENOSPC/OOM condition)
       s"worker failures (gate=$gateFailed salted=$saltedFailed " +
-        s"size=$sizeFailed raw=$rawFailed)" ->
-        (gateFailed + saltedFailed + sizeFailed + rawFailed > 0),
+        s"saltedN=$saltedNFailed size=$sizeFailed raw=$rawFailed)" ->
+        (gateFailed + saltedFailed + saltedNFailed + sizeFailed + rawFailed > 0),
       s"low disk at start (${usableGb} GiB)" -> lowDisk
     ).collect { case (why, true) => why }
     if (reducedReasons.nonEmpty) {
@@ -951,14 +1029,38 @@ object Bench {
                 "~8-15k at one node-wide JVM."
            }
            |
-           |## Skew-handling (salted) path, local[$cpus]
+           |## Layout crossover: presorted bucketed vs salted, both JVM shapes
            |
-           |Salted repartition + secondary sort on the same input, best of
-           |$saltedTrialsRun trial(s) (a throughput capability claim, so
-           |the min is honest against one-sided noise): ${saltedSecs}%.2f s
-           |(${(totalTurns / saltedSecs).toLong} turns/s) — the cost of the
-           |one permitted shuffle when the input layout is unknown or a
-           |conversation is pathologically large.
+           |Best-of seconds on the same input (salted = repartition on
+           |(conv_id, salt) + secondary sort, the skew-handling path's one
+           |permitted shuffle; best-of trials: salted local[$cpus] x
+           |$saltedTrialsRun, local[$execCores] x $saltedNTrialsRun):
+           |
+           || path | local[$execCores] s | local[$cpus] s |
+           ||---|---|---|
+           || presorted bucketed (zero shuffle) | $fullBest%.2f | ${tFullMinV.get}%.2f |
+           || salted (one shuffle + secondary sort) | ${saltedNSecsV.map(t => f"$t%.2f").getOrElse("not measured (budget)")} | $saltedSecs%.2f |
+           |
+           |${
+            (saltedNSecsV match {
+              case Some(sn) if fullBest <= sn =>
+                f"At local[$execCores] the presorted path measured faster ($fullBest%.2f vs $sn%.2f s) — at executor-sized parallelism the zero-shuffle scan wins. "
+              case Some(sn) =>
+                f"At local[$execCores] the SALTED path measured faster ($sn%.2f vs $fullBest%.2f s). "
+              case None => ""
+            }) + (
+              if (saltedSecs < tFullMinV.get)
+                f"At local[$cpus] the SALTED path measured FASTER ($saltedSecs%.2f vs ${tFullMinV.get}%.2f s): on one node-wide JVM the single shuffle costs less than the bucketed scan's coarse $cpus-task wave plus the giant-conversation straggler a static bucket cannot split. "
+              else
+                f"At local[$cpus] the presorted path measured faster (${tFullMinV.get}%.2f vs $saltedSecs%.2f s). "
+            ) +
+            "Guidance: the zero-shuffle bucketed layout stays the 100 TB " +
+            "default — shuffle cost grows with data volume while the task-" +
+            "granularity limit is fixed by smaller row groups and more " +
+            "buckets — but salting is the better choice when the input " +
+            "layout is unknown, one wide executor runs the whole job, or a " +
+            "single conversation is pathologically large."
+           }
            |
            |Reference implied throughput: ~0.2-0.5 docs/s (single-threaded,
            |RPC-bound — BASELINE.md); this engine: ${thrFull.toLong} turns/s

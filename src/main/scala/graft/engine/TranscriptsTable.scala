@@ -24,12 +24,25 @@ object TranscriptsTable {
 
   def manifestPath(baseDir: String): String = s"$baseDir/manifest.json"
 
-  /** Minimal JSON codec for the manifest (no JSON lib in the allowed deps). */
-  private def renderManifest(snaps: Seq[SnapshotRef]): String =
+  /** Minimal JSON codec for the manifest (no JSON lib in the allowed
+    * deps). Snapshot paths under the table root are stored RELATIVE to it
+    * (resolved back to absolute in [[readManifest]]), so the whole table
+    * directory is relocatable — move/clone/rename it and the metadata
+    * still resolves, the property that lets benchmarks cache a generated
+    * table and production move one between storage tiers without a
+    * metadata rewrite. Absolute entries (external snapshots, or manifests
+    * written before this change) still read as-is.
+    */
+  private def renderManifest(baseDir: String, snaps: Seq[SnapshotRef]): String = {
+    val base = Paths.get(baseDir).toAbsolutePath.normalize
     snaps
-      .map(s =>
-        s"""{"id":${s.id},"path":"${s.path}","nConvs":${s.nConvs},"convOffset":${s.convOffset}}""")
+      .map { s =>
+        val p = Paths.get(s.path).toAbsolutePath.normalize
+        val stored = if (p.startsWith(base)) base.relativize(p).toString else s.path
+        s"""{"id":${s.id},"path":"$stored","nConvs":${s.nConvs},"convOffset":${s.convOffset}}"""
+      }
       .mkString("[", ",", "]")
+  }
 
   private val snapRe =
     """\{"id":(\d+),"path":"([^"]*)","nConvs":(\d+),"convOffset":(\d+)\}""".r
@@ -40,14 +53,18 @@ object TranscriptsTable {
     else
       snapRe
         .findAllMatchIn(Files.readString(p))
-        .map(m => SnapshotRef(m.group(1).toLong, m.group(2), m.group(3).toInt, m.group(4).toInt))
+        .map { m =>
+          val raw = m.group(2)
+          val abs = if (raw.startsWith("/")) raw else s"$baseDir/$raw"
+          SnapshotRef(m.group(1).toLong, abs, m.group(3).toInt, m.group(4).toInt)
+        }
         .toSeq
   }
 
   private def writeManifest(baseDir: String, snaps: Seq[SnapshotRef]): Unit = {
     val tmp = Paths.get(manifestPath(baseDir) + ".tmp")
     Files.createDirectories(Paths.get(baseDir))
-    Files.writeString(tmp, renderManifest(snaps))
+    Files.writeString(tmp, renderManifest(baseDir, snaps))
     Files.move(tmp, Paths.get(manifestPath(baseDir)),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }

@@ -48,6 +48,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toVector.sorted
   }
 
+  test("table directory is relocatable: manifest resolves after a move") {
+    // snapshot paths are stored relative to the table root, so moving the
+    // whole directory (benchmark table cache, storage-tier migration)
+    // needs no metadata rewrite
+    val dir = tmpDir()
+    TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
+    val before = TranscriptsTable.readAll(spark, dir).count()
+    val moved = dir + "-moved"
+    Files.move(java.nio.file.Paths.get(dir), java.nio.file.Paths.get(moved))
+    val snaps = TranscriptsTable.readManifest(moved)
+    assert(snaps.nonEmpty && snaps.forall(_.path.startsWith(moved)),
+      s"manifest did not resolve against the new root: $snaps")
+    assert(TranscriptsTable.readAll(spark, moved).count() == before)
+  }
+
   test("golden equality: engine output == single-threaded oracle, salted and unsalted") {
     val dir = tmpDir()
     TranscriptsTable.appendSnapshot(spark, dir, snapshotId = 1,
