@@ -395,12 +395,15 @@ object Bench {
     // artifact was parsed:null (rc 124 in r3 — killed mid-gate after the
     // full run grew past ~45 min; r1/r2 completed but sbt's [info]
     // prefix made the line unparseable, fixed in build.sbt). The default
-    // fits the demonstrated-safe envelope (a 1605 s total run captured
-    // rc 0 in r2); phases degrade gracefully: mandatory minimums first,
-    // optional repeats only while the budget holds, and the result JSON
-    // is re-emitted after every phase so even a kill leaves the last
-    // complete figure parseable.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1560").toInt
+    // fits the demonstrated-safe envelope (r4's driver captured a 1603 s
+    // run, ~1645 s wall with sbt startup, rc 0 — so the kill window is
+    // beyond that; 1740 lands the final emission by ~1700 on a warm
+    // table cache while fitting all 5 gate trials at the measured
+    // ~287 s/trial). Phases degrade gracefully: mandatory minimums
+    // first, optional repeats only while the budget holds, and the
+    // result JSON is re-emitted after every phase so even a kill leaves
+    // the last complete figure parseable.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1740").toInt
     def remainingS: Double = budgetS - elapsedS
 
     // ---- state filled in phase by phase; emit() renders what exists ----
@@ -520,12 +523,26 @@ object Bench {
     // emissions below land partial figures even earlier.
     val quickConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUICK_CONVS",
       "32000").toInt
+    // The quick gate is COLD-RUN insurance: on a warm full-table cache
+    // the first authoritative full-input trial lands by ~350 s wall —
+    // inside every observed driver window — and the ~80 s the quick
+    // phase costs is exactly the margin that decides whether the 5th
+    // full gate trial fits the default budget. Skip it when the full
+    // table is already cached.
+    val fullTableCached = Files.exists(Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-table-cache-$benchConvs-$giant-$cpus-${Defaults.RowGroupBytes}",
+      "_complete"))
+    if (fullTableCached && quickConvs > 0)
+      System.err.println(
+        "[bench] quick gate SKIPPED: full bench table cache is warm, " +
+          "first full-input gate trial is the early estimate")
     // a stale ~12 GiB table from an earlier killed run can ENOSPC this
     // phase — sweep leftovers BEFORE generating our own (phase 2 sweeps
     // again for its own, larger, table)
     sweepStaleBenchDirs()
     val s1 = session(cpus)
-    if (quickConvs > 0) {
+    if (quickConvs > 0 && !fullTableCached) {
       val qGiant = math.max(1, (giant.toLong * quickConvs / benchConvs).toInt)
       val qBase = Files.createTempDirectory("graft-bench-quick").toString
       try {
@@ -716,9 +733,13 @@ object Bench {
     var lastTrialCost = 0.0
     var gateAttempts = 0
     var gateFailed = 0
+    // 1.05 margin (was 1.15): trial costs were measured stable at
+    // 271-305 s across the r5 record's five trials, and the budget is
+    // internal — a last trial that overruns it by seconds only shrinks
+    // the post-gate diagnostics, which is the documented precedence.
     while (gateAttempts < trialsMax &&
         (gateAttempts < 2 ||
-          remainingS > lastTrialCost * 1.15 + gateFloorReserve)) {
+          remainingS > lastTrialCost * 1.05 + gateFloorReserve)) {
       val i = gateAttempts + 1
       val w0 = System.nanoTime()
       val f = pinnedTrial(tableDir, s"$benchBase/gateFull", execCores,
