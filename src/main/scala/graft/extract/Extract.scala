@@ -57,6 +57,14 @@ object Extract {
     Pattern.compile("(?is)</?(?:div|p|nav|footer|header|ul|ol|li|table|tr|h[1-6]|br|body|html|section|article|aside)[^>]*>")
   private val scriptStyle =
     Pattern.compile("(?is)<(script|style)\\b[^>]*>.*?</\\1>")
+  // Structural chrome pruning (Trafilatura-style): whole <nav>/<aside>/
+  // <footer>/<header>/<head> subtrees are boilerplate by POSITION, not by
+  // their text features — a nav bar of plain words passes any density
+  // test yet is never main content. Non-greedy, so a same-tag nested
+  // subtree degrades to partial pruning (heuristic, documented); an
+  // unclosed tag leaves the subtree to the density classifier.
+  private val pruneSubtrees =
+    Pattern.compile("(?is)<(head|nav|aside|footer|header)\\b[^>]*>.*?</\\1>")
 
   def isHtml(text: String): Boolean =
     text.contains("<html") || text.contains("<body") || text.contains("<div") ||
@@ -70,14 +78,24 @@ object Extract {
   private def stripTags(s: String): String =
     wsRun.matcher(tagPattern.matcher(s).replaceAll(" ")).replaceAll(" ").trim
 
-  /** Keep blocks whose link density < 0.35 and word count >= 5; join kept
-    * block texts with '\n'. Link density = chars inside <a> / total text
-    * chars of the block.
+  /** One flat-text block of an HTML page with its shallow text features
+    * (Kohlschütter et al., WSDM 2010: word count + link density are the
+    * two features that carry nearly all the signal).
     */
-  def stripBoilerplate(html: String): String = {
+  final case class TextBlock(text: String, words: Int, linkDensity: Double)
+
+  private val EmptyBlock = TextBlock("", 0, 0.0)
+
+  /** Decompose an HTML payload into text blocks: drop script/style
+    * content, prune structural-chrome subtrees, split at block-level
+    * tags, strip remaining inline tags, collapse whitespace; per block
+    * compute word count and link density (chars inside <a> / total text
+    * chars of the block).
+    */
+  def textBlocks(html: String): Vector[TextBlock] = {
     val noScript = scriptStyle.matcher(html).replaceAll(" ")
-    val blocks = blockSplitters.split(noScript).toVector
-    val kept = blocks.flatMap { raw =>
+    val noChrome = pruneSubtrees.matcher(noScript).replaceAll(" ")
+    blockSplitters.split(noChrome).toVector.flatMap { raw =>
       val m = anchorPattern.matcher(raw)
       var linkChars = 0
       while (m.find()) linkChars += stripTags(m.group(1)).length
@@ -85,12 +103,50 @@ object Extract {
       if (txt.isEmpty) None
       else {
         val words = wsRun.split(txt).count(_.nonEmpty)
-        val linkDensity =
-          if (txt.length == 0) 0.0 else linkChars.toDouble / txt.length
-        if (linkDensity < 0.35 && words >= 5) Some(txt) else None
+        Some(TextBlock(txt, words, linkChars.toDouble / txt.length))
       }
     }
-    kept.mkString("\n")
+  }
+
+  /** Keep blocks whose link density < 0.35 and word count >= 5; join kept
+    * block texts with '\n'. Context-free density rule — the default arm,
+    * robust on fragmentary payloads where neighbor context is noise.
+    */
+  def stripBoilerplate(html: String): String =
+    textBlocks(html).collect {
+      case b if b.linkDensity < 0.35 && b.words >= 5 => b.text
+    }.mkString("\n")
+
+  /** Boilerpipe's NumWordsRulesClassifier decision stump (Kohlschütter,
+    * Fankhauser, Nejdl — "Boilerplate Detection using Shallow Text
+    * Features", WSDM 2010; thresholds from the published open-source
+    * classifier): a block's verdict depends on its NEIGHBORS — a short
+    * block before a long paragraph is its intro (content), the same
+    * block after a link farm is a caption/related-links header
+    * (boilerplate). First/last blocks see an empty neighbor.
+    */
+  private def stumpIsContent(prev: TextBlock, curr: TextBlock,
+      next: TextBlock): Boolean =
+    if (curr.linkDensity > 0.333333) false
+    else if (prev.linkDensity <= 0.555556) {
+      if (curr.words <= 16) {
+        if (next.words <= 15) prev.words > 4 else true
+      } else true
+    } else {
+      if (curr.words <= 40) next.words > 17 else true
+    }
+
+  /** Main-content extraction via the Boilerpipe stump over [[textBlocks]];
+    * kept block texts joined with '\n'. The context-sensitive arm for
+    * full-page payloads.
+    */
+  def mainContentBoilerpipe(html: String): String = {
+    val bs = textBlocks(html)
+    bs.indices.iterator.filter { i =>
+      val prev = if (i == 0) EmptyBlock else bs(i - 1)
+      val next = if (i == bs.length - 1) EmptyBlock else bs(i + 1)
+      stumpIsContent(prev, bs(i), next)
+    }.map(bs(_).text).mkString("\n")
   }
 
   def extractText(text: String): String =

@@ -345,6 +345,56 @@ object OpQueries {
               |  ||chr(10)||'Second kept block bravo '||$sqlTok2||' also has enough words to stay put.' AS main_text
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // P2b — structural chrome pruning (Trafilatura-style): <header>/<nav>/
+    // <aside>/<footer> subtrees are boilerplate by POSITION — here they
+    // carry plain low-link-density words that the flat density rule of r4
+    // would have KEPT; the pruned default must drop them and keep only
+    // the article block.
+    "p2_dom_prune" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("<html><body>\n<header>Site masthead words with brand slogan here today</header>\n"),
+          lit("<nav>Products pricing support documentation contact about team blog</nav>\n"),
+          lit("<div>Primary article content "), tok($"text", 1),
+          lit(" with plenty of words to be retained here.</div>\n"),
+          lit("<aside>Sponsored related reading list promotion words appear here</aside>\n"),
+          lit("<footer>Copyright terms privacy contact address line words here</footer>\n</body></html>"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "main_text")(Extract.extractText)
+      },
+      Some(s"""SELECT doc_id,
+              |  'Primary article content '||$sqlTok1||' with plenty of words to be retained here.' AS main_text
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // P2c — Boilerpipe NumWordsRulesClassifier (WSDM 2010): neighbor
+    // context decides. The page plants the two context-asymmetric cases:
+    // a 10-word caption AFTER a link farm (dropped: prev link-dense,
+    // next short) vs a 5-word intro BEFORE a long paragraph (kept), plus
+    // a trailing 8-word pseudo-footer after a second link farm (dropped).
+    // The flat density rule would keep all three.
+    "p2_boilerpipe_stump" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("<html><body>\n<p>Alpha article body text "), tok($"text", 1),
+          lit(" one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen</p>\n"),
+          lit("<div><a href=\"u\">related one</a> <a href=\"v\">related two</a> <a href=\"w\">related three</a></div>\n"),
+          lit("<p>Caption text under the related links block here today folks</p>\n"),
+          lit("<p>Short intro before long paragraph</p>\n"),
+          lit("<p>Bravo main content "), tok($"text", 2),
+          lit(" continues with many more words to easily pass the sixteen word threshold here now</p>\n"),
+          lit("<div><a href=\"x\">terms</a> <a href=\"y\">privacy</a></div>\n"),
+          lit("<p>Copyright footer style trailing words appear here today</p>\n</body></html>"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        runStr(s, df, "main_text")(Extract.mainContentBoilerpipe)
+      },
+      Some(s"""SELECT doc_id,
+              |  'Alpha article body text '||$sqlTok1||' one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen'
+              |  ||chr(10)||'Short intro before long paragraph'
+              |  ||chr(10)||'Bravo main content '||$sqlTok2||' continues with many more words to easily pass the sixteen word threshold here now' AS main_text
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // F8/E1 — validity quarantine: an empty payload must produce a
     // failed:empty status row (never abort), everything else extracts ok.
     "f8_quarantine" -> Entry(

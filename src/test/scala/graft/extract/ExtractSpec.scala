@@ -94,6 +94,57 @@ class ExtractSpec extends AnyFunSuite {
     assert(!out.contains("Home"))
   }
 
+  test("chrome pruning drops nav/header/aside/footer subtrees by position") {
+    val html =
+      """<html><head><title>Page Title Words</title></head><body>
+        |<header>Brand slogan words repeated here again today folks</header>
+        |<nav>Products pricing support documentation contact about team blog</nav>
+        |<div>Article body kept with plenty of plain words here.</div>
+        |<aside>Sponsored related reading list promotion words appear here</aside>
+        |<footer>Copyright terms privacy contact address line words here</footer>
+        |</body></html>""".stripMargin
+    val out = Extract.stripBoilerplate(html)
+    assert(out == "Article body kept with plenty of plain words here.")
+    // unclosed chrome tag: subtree falls through to the density rule
+    val unclosed = "<body><nav>one two<div>Real content words five six seven eight</div></body>"
+    assert(Extract.stripBoilerplate(unclosed)
+      .contains("Real content words five six seven eight"))
+  }
+
+  test("textBlocks computes word count and link density per block") {
+    val bs = Extract.textBlocks(
+      """<body><p>five plain words right here</p>
+        |<div><a href="u">related one</a> <a href="v">related two</a></div></body>""".stripMargin)
+    assert(bs.map(_.words) == Vector(5, 4))
+    assert(bs(0).linkDensity == 0.0)
+    assert(bs(1).linkDensity > 0.9)
+  }
+
+  test("boilerpipe stump: neighbor context decides short blocks") {
+    val page =
+      """<body>
+        |<p>Alpha body one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen</p>
+        |<div><a href="u">related one</a> <a href="v">related two</a> <a href="w">related three</a></div>
+        |<p>Caption text under the related links block here today folks</p>
+        |<p>Short intro before long paragraph</p>
+        |<p>Bravo content continues with many more words to easily pass the sixteen word threshold here now yes</p>
+        |<div><a href="x">terms</a> <a href="y">privacy</a></div>
+        |<p>Copyright footer style trailing words appear here today</p>
+        |</body>""".stripMargin
+    val out = Extract.mainContentBoilerpipe(page).split("\n").toVector
+    // 17-word lead, 5-word intro (next is long), 18-word paragraph kept;
+    // link farms, the 10-word caption after a link farm, and the trailing
+    // 8-word block after a link farm dropped.
+    assert(out.size == 3)
+    assert(out(0).startsWith("Alpha body"))
+    assert(out(1) == "Short intro before long paragraph")
+    assert(out(2).startsWith("Bravo content"))
+    // the flat density rule keeps the caption and trailer (both >= 5
+    // plain words) — the context stump is genuinely a different classifier
+    val flat = Extract.stripBoilerplate(page)
+    assert(flat.contains("Caption text") && flat.contains("Copyright footer"))
+  }
+
   test("confidence A1: empty-value counting") {
     assert(Extract.confidenceA1(Map()) == 0.0)
     assert(Extract.confidenceA1(Map("a" -> "x", "b" -> "")) == 0.5)
