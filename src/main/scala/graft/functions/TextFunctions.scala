@@ -27,6 +27,47 @@ object TextFunctions {
     kws.map(k => when(lowText.contains(k), 1).otherwise(0))
       .reduce(_ + _)
 
+  // ---- URL canonicalization (the URL-dedup key) --------------------------
+  // RFC 3986 normalization subset + web-crawl practice: scheme and host
+  // are case-insensitive (lowered), default ports and a leading "www."
+  // are noise, fragments never reach the server, utm_*/fbclid/gclid are
+  // client-side tracking. Path CASE and non-tracking query params are
+  // significant and preserved. All regexp/HOF built-ins — codegen'd.
+
+  /** Registered host of a URL: lowered authority minus port and a leading
+    * "www.".
+    */
+  def urlHost(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1)),
+        ":\\d+$", ""),
+      "^www\\.", "")
+
+  /** Canonical form of a URL (see module note for the rule set). A
+    * non-default explicit port is preserved.
+    */
+  def urlCanon(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val port = regexp_extract(auth, ":(\\d+)$", 1)
+    val portSfx = when(port === "", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val noFrag = regexp_replace(u, "#.*", "")
+    val rest = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1),
+      "^(.+?)/+$", "$1")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val keptQ = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike("^(utm_[A-Za-z]+|fbclid|gclid)=")),
+      "&")
+    concat(scheme, lit("://"), urlHost(u), portSfx, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
   /** Deterministic polynomial rolling hash over the first `maxChars`
     * characters — the document fingerprint. Kept under 2^63 via mod at
     * every step so the arithmetic is portable across engines.

@@ -263,6 +263,48 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
 
+    // CCNet-style PARAGRAPH-level exact dedup (Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    // LREC 2020, §3: paragraph-hash dedup is the first pipeline stage and
+    // removes ~70% of raw web text): hash every paragraph of every
+    // document, keep only the FIRST corpus-wide occurrence of each
+    // paragraph (min (doc_id, idx)), reassemble survivors in document
+    // order. Scale shape: posexplode -> ONE md5-keyed exchange for the
+    // first-owner agg (min(struct) is map-side combinable) -> equi-join
+    // back on the same key (CCNet shards paragraph hashes identically) ->
+    // per-doc reassembly (collect_list bounded by document size, never by
+    // corpus). The payload plants a corpus-global boilerplate paragraph
+    // (survives only in doc 0), a 50-doc cohort notice (survives in the
+    // cohort's min doc), and a unique body line (always survives), so the
+    // oracle is closed-form by construction.
+    "dd_paragraph_exact" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat_ws("\n",
+          lit("Subscribe to our newsletter today"),
+          concat(lit("Group notice for cohort "),
+            pmod($"doc_id", lit(50)).cast("string")),
+          concat(lit("Unique content "), tok($"text", 1),
+            lit(" of document "), $"doc_id".cast("string")))
+        val paras = rd(s, d, "documents")
+          .select($"doc_id", posexplode(split(payload, "\n")).as(Seq("idx", "para")))
+          .withColumn("h", md5($"para"))
+        val owner = paras.groupBy($"h")
+          .agg(min(struct($"doc_id", $"idx")).as("o"))
+        paras.join(owner, "h")
+          .where($"doc_id" === $"o.doc_id" && $"idx" === $"o.idx")
+          .groupBy($"doc_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct($"idx", $"para"))),
+              x => x("para")), "\n").as("clean_text"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, CASE
+              |  WHEN doc_id = 0 THEN 'Subscribe to our newsletter today'||chr(10)||'Group notice for cohort 0'||chr(10)||'Unique content '||$sqlTok1||' of document 0'
+              |  WHEN doc_id < 50 THEN 'Group notice for cohort '||CAST(doc_id AS VARCHAR)||chr(10)||'Unique content '||$sqlTok1||' of document '||CAST(doc_id AS VARCHAR)
+              |  ELSE 'Unique content '||$sqlTok1||' of document '||CAST(doc_id AS VARCHAR) END AS clean_text
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // n-gram (token-set) Jaccard near-dup dedup over the WHOLE corpus,
     // CLIQUE-LINEAR by construction (the r2 within-band self-join emitted
     // every id_a < id_b pair — O(k^2) per template clique, 159 s at sf0.1
@@ -995,6 +1037,77 @@ object PipelineQueries {
              |  round(CAST(count(CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3')
              |                        THEN 1 END) AS DOUBLE) / count(*), 4) AS rate
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // deterministic train/val/test split by CONTENT hash — the standard
+    // leak-proof corpus partitioning (same document always lands in the
+    // same split, on any cluster, with no RNG/seed coordination; contrast
+    // randomSplit, whose assignment depends on partitioning). First two
+    // md5 hex chars give 256 uniform buckets: 230/13/13 ~ 90/5/5. Output
+    // is the per-(split, source) balance audit. Row-local assignment +
+    // one map-side-combined agg — no shuffle of document payloads.
+    "ta_split_train_val" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val b = substring(md5($"text"), 1, 2)
+        val sp = when(b <= "e5", "train").when(b <= "f2", "val")
+          .otherwise("test")
+        rd(s, d, "documents")
+          .groupBy(sp.as("split"), $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars".cast("long")).as("sum_chars"))
+          .orderBy($"split", $"source")
+      },
+      Some("""SELECT CASE WHEN substr(md5(text),1,2) <= 'e5' THEN 'train'
+             |            WHEN substr(md5(text),1,2) <= 'f2' THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  source, count(*) AS n_docs,
+             |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin)),
+
+    // URL canonicalization — the key derivation for URL-level dedup
+    // (every web-crawl pipeline dedups on canonical URL before any
+    // content pass): lowercase scheme+host, strip default ports and a
+    // leading www., drop the fragment and tracking params (utm_*/fbclid/
+    // gclid), strip the path's trailing slashes; path case and remaining
+    // query params are preserved. Entirely native column functions
+    // (regexp_extract/replace + a filtered split) — codegen'd, row-local,
+    // shuffle-free. The payload rotates four URL shapes that each
+    // exercise different rules; the oracle is closed-form by construction.
+    "ta_url_normalize" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val m4 = pmod($"doc_id", lit(4))
+        val url = when(m4 === 0, concat(
+            lit("HTTPS://WWW.Example"), pmod($"doc_id", lit(7)).cast("string"),
+            lit(".COM:443/Products/Item/"), $"doc_id".cast("string"),
+            lit("/?utm_source=feed&ref=home#frag")))
+          .when(m4 === 1, concat(
+            lit("http://News.Site"), pmod($"doc_id", lit(5)).cast("string"),
+            lit(".org:80/articles/"), tok($"text", 1),
+            lit("?id="), $"doc_id".cast("string"),
+            lit("&utm_campaign=x&fbclid=abc")))
+          .when(m4 === 2, concat(
+            lit("https://blog.example.net/posts/"), $"doc_id".cast("string"), lit("/")))
+          .otherwise(concat(
+            lit("HTTP://API.Service.IO/v1/Query?q="), tok($"text", 1),
+            lit("&gclid=zzz&page=2")))
+        val df = rd(s, d, "documents")
+          .select($"doc_id", url.as("u"))
+        df.select($"doc_id", urlCanon($"u").as("canon_url"),
+            urlHost($"u").as("host"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, CASE doc_id % 4
+              |  WHEN 0 THEN 'https://example'||CAST(doc_id % 7 AS VARCHAR)||'.com/Products/Item/'||CAST(doc_id AS VARCHAR)||'?ref=home'
+              |  WHEN 1 THEN 'http://news.site'||CAST(doc_id % 5 AS VARCHAR)||'.org/articles/'||$sqlTok1||'?id='||CAST(doc_id AS VARCHAR)
+              |  WHEN 2 THEN 'https://blog.example.net/posts/'||CAST(doc_id AS VARCHAR)
+              |  ELSE 'http://api.service.io/v1/Query?q='||$sqlTok1||'&page=2' END AS canon_url,
+              |CASE doc_id % 4
+              |  WHEN 0 THEN 'example'||CAST(doc_id % 7 AS VARCHAR)||'.com'
+              |  WHEN 1 THEN 'news.site'||CAST(doc_id % 5 AS VARCHAR)||'.org'
+              |  WHEN 2 THEN 'blog.example.net'
+              |  ELSE 'api.service.io' END AS host
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // sequence packing (concat-and-split): assign every doc its token
     // OFFSET in the per-source concatenated stream and the 2048-token

@@ -144,6 +144,34 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .features(0) == 0.0)
   }
 
+  test("urlCanon: ports, www, fragment, tracking params, trailing slash") {
+    import spark.implicits._
+    val urls = Seq(
+      // non-default port preserved; default stripped
+      "https://Example.com:8443/a/", "https://Example.com:443/a/",
+      "http://example.com:80/a", "http://example.com:443/a",
+      // root path slash kept; empty path kept empty
+      "https://example.com/", "https://example.com",
+      // fragment-only and all-tracking query collapse
+      "https://example.com/p#section", "https://example.com/p?utm_source=x&utm_medium=y",
+      // non-tracking params preserved in order; www stripped
+      "HTTPS://WWW.Example.COM/P?b=2&a=1")
+    val out = urls.toDF("u").select(urlCanon($"u").as("c")).as[String].collect()
+    assert(out(0) == "https://example.com:8443/a")
+    assert(out(1) == "https://example.com/a")
+    assert(out(2) == "http://example.com/a")
+    assert(out(3) == "http://example.com:443/a") // 443 is not http's default
+    assert(out(4) == "https://example.com/")
+    assert(out(5) == "https://example.com")
+    assert(out(6) == "https://example.com/p")
+    assert(out(7) == "https://example.com/p")
+    assert(out(8) == "https://example.com/P?b=2&a=1")
+    val hosts = Seq("https://WWW.Sub.Example.com:8443/x", "notaurl")
+      .toDF("u").select(urlHost($"u").as("h")).as[String].collect()
+    assert(hosts(0) == "sub.example.com")
+    assert(hosts(1) == "") // non-URL degrades to empty, never throws
+  }
+
   test("polyHash is order-sensitive and deterministic") {
     import spark.implicits._
     val h = Seq("abc", "acb", "abc").toDF("t")
