@@ -1358,6 +1358,151 @@ object PipelineQueries {
              |  ON s.doc_id = t.doc_id
              |ORDER BY s.doc_id""".stripMargin)),
 
+    // Gopher quality rules — the full published document-filter suite
+    // (Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+    // from Training Gopher", 2021, Table A1): word-count bounds, mean
+    // word length bounds, symbol-to-word ratio (# and ...), bullet-line
+    // and ellipsis-line fractions, alphabetic-word fraction, and the
+    // >= 2-of-8 stop-word requirement. Entirely row-local HOF built-ins
+    // (one pass, shuffle-free); the oracle recomputes the identical
+    // algorithm structurally. The payload rotates four shapes so every
+    // rule fires somewhere in the corpus.
+    "ta_gopher_rules" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val m4 = pmod($"doc_id", lit(4))
+        val payload = when(m4 === 0, $"text")
+          .when(m4 === 1, lit(Seq(
+            "• one two", "• three four", "• five six",
+            "• seven eight", "and then the story continues...",
+            "with more to come...", "plain line here", "plain line too")
+            .mkString("\n")))
+          .when(m4 === 2,
+            lit("count symbols # # # # # # here with the of and that"))
+          .otherwise(concat($"text", lit(" the of and that have with")))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        val ws = filter(split($"p", "\\s+"), x => length(x) > 0)
+        val nWords = size(ws)
+        val meanWlen = round(
+          aggregate(transform(ws, w => length(w).cast("long")), lit(0L),
+            (a, x) => a + x).cast("double") / greatest(nWords, lit(1)), 6)
+        val nHash = length($"p") - length(regexp_replace($"p", "#", ""))
+        val nEll = (length($"p") -
+          length(regexp_replace($"p", "\\.\\.\\.", ""))) / 3
+        val symRatio = round((nHash + nEll).cast("double") /
+          greatest(nWords, lit(1)), 6)
+        val lines = filter(split($"p", "\n"), l => length(l) > 0)
+        val bulletFrac = round(
+          size(filter(lines, l => l.startsWith("• ") || l.startsWith("- ")))
+            .cast("double") / greatest(size(lines), lit(1)), 6)
+        val ellFrac = round(
+          size(filter(lines, l => l.endsWith("...")))
+            .cast("double") / greatest(size(lines), lit(1)), 6)
+        val alphaFrac = round(
+          size(filter(ws, w => w.rlike("[a-zA-Z]")))
+            .cast("double") / greatest(nWords, lit(1)), 6)
+        val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
+          "with").map(sw => when(array_contains(ws, sw), 1).otherwise(0))
+          .reduce(_ + _)
+        df.select($"doc_id", nWords.cast("long").as("n_words"),
+            meanWlen.as("mean_wlen"),
+            symRatio.as("sym_ratio"), bulletFrac.as("bullet_frac"),
+            ellFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+            stopHits.cast("long").as("stop_hits"))
+          .withColumn("keep",
+            $"n_words" >= 50 && $"n_words" <= 100000 &&
+            $"mean_wlen" >= 3 && $"mean_wlen" <= 10 &&
+            $"sym_ratio" <= 0.1 && $"bullet_frac" <= 0.9 &&
+            $"ellipsis_frac" <= 0.3 && $"alpha_frac" >= 0.8 &&
+            $"stop_hits" >= 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pay AS (SELECT doc_id, CASE doc_id % 4
+             |    WHEN 0 THEN text
+             |    WHEN 1 THEN '• one two'||chr(10)||'• three four'||chr(10)||'• five six'||chr(10)||'• seven eight'||chr(10)||'and then the story continues...'||chr(10)||'with more to come...'||chr(10)||'plain line here'||chr(10)||'plain line too'
+             |    WHEN 2 THEN 'count symbols # # # # # # here with the of and that'
+             |    ELSE text||' the of and that have with' END AS p
+             |  FROM documents),
+             |feat AS (SELECT doc_id, p,
+             |  list_filter(string_split_regex(p, '\s+'), x -> length(x) > 0) AS ws,
+             |  list_filter(string_split(p, chr(10)), l -> length(l) > 0) AS ls
+             |  FROM pay),
+             |r AS (SELECT doc_id,
+             |  len(ws) AS n_words,
+             |  round(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) / greatest(len(ws), 1), 6) AS mean_wlen,
+             |  round(CAST((length(p) - length(replace(p, '#', ''))) + (length(p) - length(replace(p, '...', ''))) / 3 AS DOUBLE) / greatest(len(ws), 1), 6) AS sym_ratio,
+             |  round(CAST(len(list_filter(ls, l -> starts_with(l, '• ') OR starts_with(l, '- '))) AS DOUBLE) / greatest(len(ls), 1), 6) AS bullet_frac,
+             |  round(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / greatest(len(ls), 1), 6) AS ellipsis_frac,
+             |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / greatest(len(ws), 1), 6) AS alpha_frac,
+             |  len(list_filter(['the','be','to','of','and','that','have','with'], sw -> list_contains(ws, sw))) AS stop_hits
+             |  FROM feat)
+             |SELECT doc_id, n_words, mean_wlen, sym_ratio, bullet_frac,
+             |  ellipsis_frac, alpha_frac, stop_hits,
+             |  (n_words >= 50 AND n_words <= 100000 AND mean_wlen >= 3
+             |   AND mean_wlen <= 10 AND sym_ratio <= 0.1
+             |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+             |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // C4 line + document filters (Raffel et al., "Exploring the Limits of
+    // Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+    // 2020, §2.2): keep only lines ending in terminal punctuation with
+    // >= 3 words and no "javascript"; drop any page containing "lorem
+    // ipsum" or "{" or with < 5 sentences after line filtering
+    // (sentences approximated as terminal-punctuation marks in the kept
+    // text — C4 proper uses a sentence tokenizer). Row-local line HOFs;
+    // structural oracle.
+    "ta_c4_filters" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val m3 = pmod($"doc_id", lit(3))
+        val base = concat(
+          lit("This is a good first sentence.\nShort line\n"),
+          lit("Another proper sentence appears right here.\n"),
+          lit("var x = 1; // javascript inline.\n"),
+          lit("A third full sentence ends with punctuation.\n"),
+          lit("A fourth complete sentence closes this paragraph.\n"),
+          lit("A fifth sentence "), tok($"text", 1), lit(" makes the quota."))
+        val payload = when(m3 === 0, base)
+          .when(m3 === 1, concat(base, lit("\nlorem ipsum dolor sit amet.")))
+          .otherwise(concat(base, lit("\nfunction f() { return; }.")))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        val lines = split($"p", "\n")
+        val keptLines = filter(lines, l =>
+          l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
+          !lower(l).contains("javascript"))
+        val clean = array_join(keptLines, "\n")
+        val nSent = length(regexp_replace(clean, "[^.!?]", ""))
+        df.select($"doc_id", size(lines).cast("long").as("n_lines"),
+            size(keptLines).cast("long").as("n_kept_lines"),
+            nSent.cast("long").as("n_sent"),
+            (nSent >= 5 && !lower($"p").contains("lorem ipsum") &&
+              !$"p".contains("{")).as("keep"),
+            substring(clean, 1, 60).as("clean_prefix"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH pay AS (SELECT doc_id,
+              |  'This is a good first sentence.'||chr(10)||'Short line'||chr(10)||'Another proper sentence appears right here.'||chr(10)||'var x = 1; // javascript inline.'||chr(10)||'A third full sentence ends with punctuation.'||chr(10)||'A fourth complete sentence closes this paragraph.'||chr(10)||'A fifth sentence '||$sqlTok1||' makes the quota.'
+              |  || CASE doc_id % 3 WHEN 1 THEN chr(10)||'lorem ipsum dolor sit amet.'
+              |                     WHEN 2 THEN chr(10)||'function f() { return; }.' ELSE '' END AS p
+              |  FROM documents),
+              |f AS (SELECT doc_id, p, string_split(p, chr(10)) AS ls,
+              |  list_filter(string_split(p, chr(10)), l ->
+              |    regexp_matches(l, '[.!?"]$$')
+              |    AND len(list_filter(string_split_regex(l, '\\s+'), w -> length(w) > 0)) >= 3
+              |    AND NOT contains(lower(l), 'javascript')) AS kept
+              |  FROM pay),
+              |c AS (SELECT doc_id, p, ls, kept,
+              |  array_to_string(kept, chr(10)) AS clean FROM f)
+              |SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept_lines,
+              |  length(regexp_replace(clean, '[^.!?]', '', 'g')) AS n_sent,
+              |  (length(regexp_replace(clean, '[^.!?]', '', 'g')) >= 5
+              |   AND NOT contains(lower(p), 'lorem ipsum')
+              |   AND NOT contains(p, '{')) AS keep,
+              |  substr(clean, 1, 60) AS clean_prefix
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
     // rolling-hash document fingerprint (first 64 chars)
     "ta_fingerprint" -> Entry(
       (s, d) => {

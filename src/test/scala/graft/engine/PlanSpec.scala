@@ -231,6 +231,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("paragraph dedup: hash equi-join on the paragraph key, no windows") {
+    // dd_paragraph_exact's scale contract: the first-owner resolution is
+    // a map-side-combinable agg + an equi-join on the md5 key — never a
+    // per-key window over the exploded corpus, never a product.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = graft.SparkEntry.queries("dd_paragraph_exact")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "owner join degenerated to a product:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no hash/merge equi-join:\n" + p.take(1500))
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(wins.isEmpty, "paragraph dedup plans a window over the corpus")
+    // partial aggregation: the min(struct) owner agg must combine
+    // map-side (two HashAggregates around the exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
