@@ -86,7 +86,9 @@ object ScaleProbe {
       "ta_tfidf_topk", "ta_lm_perplexity", "ta_dsir_weights",
       "ta_ccnet_bucket", "ta_domain_mix", "ta_length_quantiles",
       "dd_semdedup", "lt_table_cells", "ta_fix_encoding",
-      "ta_token_budget_pick", "dd_incremental_history")
+      "ta_token_budget_pick", "dd_incremental_history",
+      "dd_paragraph_exact", "ta_gopher_rules", "ta_c4_filters",
+      "ta_split_train_val", "ta_url_normalize")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes

@@ -251,6 +251,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("row-local pipeline ops have no mid-plan shuffle") {
+    // ta_url_normalize / ta_gopher_rules / ta_c4_filters are per-row
+    // feature passes: the only exchange allowed is the terminal
+    // presentation sort (range partitioning for orderBy) — any hash
+    // exchange means a join/agg crept into what must stay a scan+project.
+    for (q <- Seq("ta_url_normalize", "ta_gopher_rules", "ta_c4_filters")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q plans a hash exchange:\n" + p.take(2000))
+      assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(2000))
+    }
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
