@@ -302,6 +302,48 @@ object CoreQueries {
              |FROM events p WHERE p.event_type = 'purchase'
              |ORDER BY purchase_id""".stripMargin)),
 
+    // RANGE (interval-containment) join, binned: which maintenance
+    // windows cover each event's timestamp. The naive Spark plan for
+    // `e.ts >= w.start AND e.ts < w.end` is BroadcastNestedLoopJoin —
+    // O(events x windows) and only viable while one side broadcasts. The
+    // scale form bins time into hours: an event belongs to exactly ONE
+    // bin, a window explodes into the 1-3 bins it covers, the join
+    // becomes an EQUI-join on bin (shuffle- or broadcast-hash), and the
+    // exact containment predicate filters within the bin — output
+    // duplicate-free by construction (one bin per event). All arithmetic
+    // in integer microseconds (parquet ts is TIMESTAMP_NTZ; epoch under
+    // the UTC session). The oracle runs the DIRECT inequality join —
+    // algorithm-independent ground truth. Windows derive from documents:
+    // window k starts at 2024-01-01 + 97k min, lasts 30 + (k % 120) min.
+    "q_range_join_binned" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val binUs = 3600L * 1000000L
+        val baseS = 1704067200L // 2024-01-01 00:00:00 UTC
+        val ev = rd(s, d, "events").select($"event_id",
+          unix_micros($"ts".cast("timestamp")).as("es"))
+        val win = rd(s, d, "documents").select($"doc_id".as("window_id"))
+          .withColumn("s_us", (lit(baseS) + $"window_id" * 97L * 60L) * 1000000L)
+          .withColumn("e_us",
+            $"s_us" + (lit(30L) + pmod($"window_id", lit(120L))) * 60L * 1000000L)
+        val evb = ev.withColumn("bin", floor($"es" / binUs).cast("long"))
+        val wb = win.withColumn("bin",
+          explode(sequence(floor($"s_us" / binUs).cast("long"),
+            floor(($"e_us" - 1) / binUs).cast("long"))))
+        evb.join(wb, "bin")
+          .where($"es" >= $"s_us" && $"es" < $"e_us")
+          .select($"event_id", $"window_id")
+          .orderBy($"event_id", $"window_id")
+      },
+      Some("""WITH w AS (SELECT doc_id AS window_id,
+             |  (1704067200 + doc_id*97*60) * 1000000 AS s_us,
+             |  (1704067200 + doc_id*97*60 + (30 + doc_id%120)*60) * 1000000 AS e_us
+             |  FROM documents)
+             |SELECT e.event_id, w.window_id
+             |FROM (SELECT event_id, epoch_us(ts) AS es FROM events) e
+             |JOIN w ON e.es >= w.s_us AND e.es < w.e_us
+             |ORDER BY event_id, window_id""".stripMargin)),
+
     // batch sessionization: 30-minute-gap sessions per user via
     // lag + running sum (the windowed-analytics shape of the streaming
     // sessionizer). Gap compare on integer microseconds — exact parity.

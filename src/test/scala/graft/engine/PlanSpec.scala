@@ -251,6 +251,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("binned range join is an equi-join, never a nested-loop product") {
+    // the whole point of q_range_join_binned: the interval-containment
+    // predicate must ride on a bin equi-join (hash/merge), not the
+    // BroadcastNestedLoopJoin Spark plans for a raw inequality join
+    val p = plan(graft.SparkEntry.queries("q_range_join_binned")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "range join degenerated to a product:\n" + p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi-join on bin:\n" + p.take(2000))
+  }
+
   test("row-local pipeline ops have no mid-plan shuffle") {
     // ta_url_normalize / ta_gopher_rules / ta_c4_filters are per-row
     // feature passes: the only exchange allowed is the terminal
