@@ -107,6 +107,62 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder arm #2: parses actual (classic, unencrypted) PDF bytes
+    * with only the JDK — PDF is a text-structured format, so parsing is
+    * offset scanning of the latin-1 view (1 byte = 1 char, lossless).
+    * Reads the "%PDF-1.x" header version, the trailer's /Size (xref
+    * entry count) and the page tree's /Count, and verifies STRUCTURAL
+    * integrity the way PyPDF2's reader does on open: the startxref
+    * offset must land exactly on the "xref" keyword (reference analog
+    * MiscTestingScripts/Ethan_PDFandJPG3.py:64-84 — PdfReader open +
+    * page count). Feature layout (fixed [[FeatureDim]]):
+    * [hdr_ok, ver_minor, size, page_count, xref_ok, 0, 0, 0]; a bad
+    * header yields [0, -1, -1, -1, -1, -1, 0, 0].
+    */
+  object PdfHeaderDecoder extends MediaDecoder {
+    /** First integer after `key` in `s` (whitespace-tolerant), -1 if
+      * absent — enough for the single-trailer classic files this arm
+      * targets.
+      */
+    private def intAfter(s: String, from: Int, key: String): Long = {
+      val i = s.indexOf(key, from)
+      if (i < 0) return -1L
+      var j = i + key.length
+      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\n' ||
+        s.charAt(j) == '\r')) j += 1
+      var v = 0L; var any = false
+      while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+        v = v * 10 + (s.charAt(j) - '0'); j += 1; any = true
+      }
+      if (any) v else -1L
+    }
+
+    def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = {
+      val bs = batch.size
+      batch.map { r =>
+        val s = new String(r.payload,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val feats = new Array[Double](FeatureDim)
+        val hdrOk = s.length >= 8 && s.startsWith("%PDF-1.") &&
+          s.charAt(7).isDigit
+        if (!hdrOk) {
+          java.util.Arrays.fill(feats, 1, 6, -1.0)
+        } else {
+          val sx = s.lastIndexOf("startxref")
+          val off = if (sx < 0) -1L else intAfter(s, sx, "startxref")
+          val xrefOk = off >= 0 && off + 4 <= s.length &&
+            s.startsWith("xref", off.toInt)
+          feats(0) = 1.0
+          feats(1) = (s.charAt(7) - '0').toDouble
+          feats(2) = intAfter(s, 0, "/Size").toDouble
+          feats(3) = intAfter(s, 0, "/Count").toDouble
+          feats(4) = if (xrefOk) 1.0 else 0.0
+        }
+        DecodedRow(r.doc_id, r.media_type, r.payload.length, bs, feats)
+      }
+    }
+  }
+
   /** The batched decode stage: binary rows -> grouped(batchSize) ->
     * decode -> feature rows. Narrow (partitioning preserved); decoder
     * state is built once per partition/batch.
@@ -176,6 +232,51 @@ object Multimodal {
     import spark.implicits._
     docIds.select($"doc_id".cast("long")).as[Long]
       .map(id => MediaRow(id, "image/png", pngBytes(id)))
+      .toDF()
+  }
+
+  /** Deterministic REAL classic-PDF bytes for doc_id: header %PDF-1.m
+    * (m = id % 8), a catalog, a page tree with K = 1 + id % 5 kids, K
+    * page objects, an xref table carrying the objects' REAL byte
+    * offsets, and a trailer with /Size (= 3 + K entries incl. the free
+    * object 0) + startxref. Corruption families mirror [[pngBytes]]:
+    * id % 11 == 0 breaks the header magic; else id % 13 == 0 points
+    * startxref one byte past the xref keyword (structurally broken).
+    */
+  def pdfBytes(docId: Long): Array[Byte] = {
+    val k = (1 + docId % 5).toInt
+    val n = 3 + k // xref entries: free obj 0 + catalog + pages + K pages
+    val sb = new StringBuilder
+    sb.append(s"%PDF-1.${(docId % 8).toInt}\n")
+    val objOff = new scala.collection.mutable.ArrayBuffer[Int]
+    objOff += sb.length
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objOff += sb.length
+    val kids = (0 until k).map(i => s"${3 + i} 0 R").mkString(" ")
+    sb.append(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $k >>\nendobj\n")
+    for (i <- 0 until k) {
+      objOff += sb.length
+      sb.append(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n")
+    }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $n\n0000000000 65535 f \n")
+    for (off <- objOff) sb.append(f"$off%010d 00000 n \n")
+    sb.append(s"trailer\n<< /Size $n /Root 1 0 R >>\n")
+    val sx = if (docId % 11 != 0 && docId % 13 == 0) xrefAt + 1 else xrefAt
+    sb.append(s"startxref\n$sx\n%%EOF\n")
+    val bytes = sb.toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (docId % 11 == 0) bytes(1) = 'X'.toByte // %XDF-… — header broken
+    bytes
+  }
+
+  /** Media frame whose payloads are [[pdfBytes]] — real bytes the
+    * [[PdfHeaderDecoder]] round-trips by actual parsing.
+    */
+  def pdfMediaFrom(spark: SparkSession, docIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    docIds.select($"doc_id".cast("long")).as[Long]
+      .map(id => MediaRow(id, "application/pdf", pdfBytes(id)))
       .toDF()
   }
 }

@@ -875,6 +875,36 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 13 <> 0 END AS crc_ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL byte parsing arm #2 — PDF (the reference's other media type,
+    // PyPDF2 open + page count): payloads are actual classic-PDF bytes
+    // (Multimodal.pdfBytes — real xref offsets, two corruption families)
+    // and the engine answer comes from PdfHeaderDecoder PARSING them:
+    // header version, trailer /Size, page-tree /Count, and the
+    // startxref-points-at-xref structural check. Oracle recomputes what
+    // the writer encoded arithmetically.
+    "mm_pdf_header" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ids = rd(s, d, "documents").select($"doc_id")
+        val media = Multimodal.pdfMediaFrom(s, ids)
+        val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
+          decoder = Multimodal.PdfHeaderDecoder).toDF()
+        val hdr = element_at($"features", 1) === 1.0
+        dec.select($"doc_id", hdr.as("valid_header"),
+            when(hdr, element_at($"features", 2).cast("int")).as("pdf_minor"),
+            when(hdr, element_at($"features", 3).cast("int")).as("n_objects"),
+            when(hdr, element_at($"features", 4).cast("int")).as("n_pages"),
+            when(hdr, element_at($"features", 5) === 1.0).as("xref_ok"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  doc_id % 11 <> 0 AS valid_header,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(doc_id % 8 AS INTEGER) END AS pdf_minor,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(4 + doc_id % 5 AS INTEGER) END AS n_objects,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 5 AS INTEGER) END AS n_pages,
+             |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 13 <> 0 END AS xref_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---------------- Text analysis ----------------
 
     "ta_langid" -> Entry(

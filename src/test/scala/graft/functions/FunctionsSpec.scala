@@ -144,6 +144,37 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .features(0) == 0.0)
   }
 
+  test("pdf header decoder really parses bytes: version, size, count, xref") {
+    for (id <- 0L to 200L) {
+      val f = Multimodal.PdfHeaderDecoder
+        .decodeBatch(Seq(Multimodal.MediaRow(id, "application/pdf",
+          Multimodal.pdfBytes(id)))).head.features
+      if (id % 11 == 0) {
+        assert(f(0) == 0.0 && f(1) == -1.0, s"id=$id: broken header not detected")
+      } else {
+        assert(f(0) == 1.0 && f(1) == (id % 8) && f(2) == (4 + id % 5) &&
+          f(3) == (1 + id % 5), s"id=$id: bad fields ${f.toVector}")
+        assert(f(4) == (if (id % 13 == 0) 0.0 else 1.0),
+          s"id=$id: xref verdict wrong")
+      }
+    }
+    // inserting a byte BEFORE the xref table shifts real offsets without
+    // touching startxref — must fail only the structural check (proves
+    // the offset is dereferenced, not assumed)
+    val good = Multimodal.pdfBytes(1L)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val shifted = s.replaceFirst("endobj\n", "endobj \n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val f = Multimodal.PdfHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(1L, "application/pdf", shifted)))
+      .head.features
+    assert(f(0) == 1.0 && f(4) == 0.0, "shifted xref not caught")
+    // non-PDF payload: no crash, invalid
+    assert(Multimodal.PdfHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(2L, "application/pdf",
+        "plain text, not a pdf".getBytes))).head.features(0) == 0.0)
+  }
+
   test("urlCanon: ports, www, fragment, tracking params, trailing slash") {
     import spark.implicits._
     val urls = Seq(
