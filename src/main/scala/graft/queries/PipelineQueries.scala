@@ -615,6 +615,68 @@ object PipelineQueries {
 
     // brute-force cosine top-k (the correctness baseline): rank on the
     // 6-dp-rounded score with vec_id tiebreak → deterministic and portable
+    // Substring search via a TRIGRAM INVERTED INDEX — the classic
+    // text-search topology (pg_trgm / code-search style): build
+    // (trigram, doc) postings with one distinct pass, probe with the
+    // query's distinct trigrams (tiny frame — broadcast side of the
+    // equi-join), candidates = docs holding ALL probe trigrams (count
+    // match, map-side-combinable agg — trigrams need not be contiguous,
+    // so candidates have NO false negatives), then the exact
+    // contains() verify runs only on candidates. Output records both
+    // counts so the index's pruning is visible. Scale shape: one
+    // gram-keyed exchange for the postings, probe set broadcast, no
+    // corpus scan per probe.
+    "sim_trigram_probe" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val probeLits = Seq("table value", "join small", "window the",
+          "fast slow", "zzz missing")
+        val docs = rd(s, d, "documents").select($"doc_id", $"text")
+        val grams3 = (c: Column) => array_distinct(transform(
+          sequence(lit(1), greatest(length(c) - 2, lit(1))),
+          i => substring(c, i, lit(3))))
+        val postings = docs
+          .select($"doc_id", explode(grams3($"text")).as("g"))
+        val probes = probeLits.toDF("probe")
+          .withColumn("n_g", size(grams3($"probe")))
+          .withColumn("g", explode(grams3($"probe")))
+        val cands = postings.join(broadcast(probes), "g")
+          .groupBy($"probe", $"n_g", $"doc_id")
+          .agg(countDistinct($"g").as("hit"))
+          .filter($"hit" === $"n_g")
+        val verified = cands.join(docs, "doc_id")
+          .groupBy($"probe")
+          .agg(count(lit(1)).as("n_candidates"),
+            count(when(col("text").contains(col("probe")), 1))
+              .as("n_matches"))
+        probeLits.toDF("probe").join(verified, Seq("probe"), "left")
+          .select($"probe",
+            coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+            coalesce($"n_matches", lit(0L)).as("n_matches"))
+          .orderBy($"probe")
+      },
+      Some("""WITH probes AS (SELECT unnest(['table value','join small','window the','fast slow','zzz missing']) AS probe),
+             |pg AS (SELECT probe, unnest(list_distinct(list_transform(
+             |         generate_series(1, greatest(length(probe) - 2, 1)),
+             |         i -> substr(probe, i, 3)))) AS g FROM probes),
+             |pn AS (SELECT probe, count(*) AS n_g FROM pg GROUP BY probe),
+             |post AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |          generate_series(1, greatest(length(text) - 2, 1)),
+             |          i -> substr(text, i, 3)))) AS g FROM documents),
+             |cand AS (SELECT pg.probe, post.doc_id, count(DISTINCT post.g) AS hit
+             |         FROM post JOIN pg ON post.g = pg.g
+             |         GROUP BY pg.probe, post.doc_id),
+             |ok AS (SELECT c.probe, c.doc_id FROM cand c JOIN pn ON c.probe = pn.probe
+             |       WHERE c.hit = pn.n_g),
+             |v AS (SELECT ok.probe, count(*) AS n_candidates,
+             |        count(CASE WHEN contains(d.text, ok.probe) THEN 1 END) AS n_matches
+             |      FROM ok JOIN documents d ON ok.doc_id = d.doc_id
+             |      GROUP BY ok.probe)
+             |SELECT p.probe, COALESCE(v.n_candidates, 0) AS n_candidates,
+             |  COALESCE(v.n_matches, 0) AS n_matches
+             |FROM probes p LEFT JOIN v ON p.probe = v.probe
+             |ORDER BY p.probe""".stripMargin)),
+
     "sim_topk_bruteforce" -> Entry(
       (s, d) => {
         import s.implicits._
