@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Transcript-native training-data operators over the (conv_id, turn_idx,
+  * role, text, ts) shape from BASELINE.json's input_hint — the operations a
+  * pipeline needs BETWEEN per-turn extraction and dataset emission:
+  * context-window assembly (the training-example join of each reply with
+  * its dialogue history), conversation structural QA (role alternation /
+  * malformed-dialogue detection), and reply-latency metrics.
+  *
+  * Like XQueries, the transcript frame is CONSTRUCTED deterministically
+  * from the `documents` table so the DuckDB oracle reproduces it by the
+  * same arithmetic: conv = floor(sqrt(doc_id)) gives a natural size ramp
+  * (conversation k has 2k+1 turns — small convs and long-tail giants, the
+  * skew family the engine's salted path exists for), turn_idx is the
+  * offset within the square band, roles alternate user/assistant with a
+  * deterministic 'tool' cadence and a deliberate violation family
+  * (doc_id % 17 == 3 forces 'assistant', breaking alternation), and ts is
+  * integer seconds monotone within each conversation with per-turn jitter.
+  *
+  * All three operators are per-conversation window/aggregate topologies:
+  * one shuffle on conv_id, frames bounded by conversation length — at
+  * 100 TB these run on the bucketed (conv_id)-sorted layout with NO
+  * exchange at all (the zero-shuffle presorted path PlanSpec pins for the
+  * extractor applies identically; windows reuse the bucketed sort order).
+  */
+object TranscriptQueries {
+  import Q._
+
+  /** Deterministic transcripts frame: (conv_id, turn_idx, role, ts_s, text). */
+  private def transcripts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    rd(s, d, "documents")
+      .withColumn("cv", floor(sqrt($"doc_id")).cast("long"))
+      .withColumn("turn_idx", ($"doc_id" - $"cv" * $"cv").cast("long"))
+      .select(
+        concat(lit("conv-"), lpad($"cv".cast("string"), 4, "0")).as("conv_id"),
+        $"turn_idx",
+        when(pmod($"doc_id", lit(17)) === 3, "assistant")
+          .when(pmod($"turn_idx", lit(7)) === 6, "tool")
+          .when(pmod($"turn_idx", lit(2)) === 0, "user")
+          .otherwise("assistant").as("role"),
+        ($"turn_idx" * 40 + pmod($"doc_id" * 7, lit(13))).cast("long").as("ts_s"),
+        $"text")
+  }
+
+  /** The same construction as a DuckDB CTE (shared by all oracles). */
+  private val sqlTranscripts =
+    """t0 AS (SELECT doc_id, CAST(floor(sqrt(doc_id)) AS BIGINT) AS cv, text
+      |       FROM documents),
+      |tr AS (SELECT 'conv-'||lpad(CAST(cv AS VARCHAR),4,'0') AS conv_id,
+      |         doc_id - cv*cv AS turn_idx,
+      |         CASE WHEN doc_id % 17 = 3 THEN 'assistant'
+      |              WHEN (doc_id - cv*cv) % 7 = 6 THEN 'tool'
+      |              WHEN (doc_id - cv*cv) % 2 = 0 THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         (doc_id - cv*cv)*40 + (doc_id*7) % 13 AS ts_s,
+      |         text
+      |       FROM t0)""".stripMargin
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // Context-window assembly: every assistant turn paired with its
+    // dialogue history (up to 3 preceding turns rendered "role: snippet"),
+    // the join that turns a transcript table into SFT training examples.
+    // Topology: ONE window per conversation with a BOUNDED frame
+    // (ROWS -3..-1) — cost is O(K) per row regardless of conversation
+    // length, and on the production bucketed layout the conv-sort is free.
+    "tr_context_windows" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+          .rowsBetween(-3, -1)
+        transcripts(s, d)
+          .withColumn("ctx", concat_ws(" | ",
+            collect_list(concat($"role", lit(": "), substring($"text", 1, 24)))
+              .over(w)))
+          .withColumn("n_ctx", least($"turn_idx", lit(3L)))
+          .filter($"role" === "assistant")
+          .select($"conv_id", $"turn_idx", $"n_ctx", $"ctx")
+          .orderBy($"conv_id", $"turn_idx")
+      },
+      Some(s"""WITH $sqlTranscripts
+              |SELECT conv_id, turn_idx, least(turn_idx, 3) AS n_ctx,
+              |  COALESCE(array_to_string(list(role || ': ' || substr(text, 1, 24))
+              |    OVER (PARTITION BY conv_id ORDER BY turn_idx
+              |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' | '), '') AS ctx
+              |FROM tr
+              |QUALIFY role = 'assistant'
+              |ORDER BY conv_id, turn_idx""".stripMargin)),
+
+    // Conversation structural QA: per-conversation turn counts, role-
+    // alternation violations (a turn repeating its predecessor's role),
+    // and the wellformed flag (starts with 'user', zero violations) —
+    // the malformed-dialogue gate run before any transcript enters a
+    // training mix. One lag window + one aggregate, both keyed by conv.
+    "tr_role_alternation" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        transcripts(s, d)
+          .withColumn("prev_role", lag($"role", 1).over(w))
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_turns"),
+            count(when($"role" === "tool", 1)).as("n_tool"),
+            count(when($"role" === $"prev_role", 1)).as("n_violations"),
+            max(when($"turn_idx" === 0, $"role" === "user"))
+              .as("starts_with_user"))
+          .withColumn("wellformed",
+            $"starts_with_user" && $"n_violations" === 0)
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |lg AS (SELECT conv_id, turn_idx, role,
+              |         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+              |       FROM tr),
+              |ag AS (SELECT conv_id, count(*) AS n_turns,
+              |         count(CASE WHEN role = 'tool' THEN 1 END) AS n_tool,
+              |         count(CASE WHEN role = prev_role THEN 1 END) AS n_violations,
+              |         max(CASE WHEN turn_idx = 0 THEN role = 'user' END) AS starts_with_user
+              |       FROM lg GROUP BY conv_id)
+              |SELECT conv_id, n_turns, n_tool, n_violations, starts_with_user,
+              |  starts_with_user AND n_violations = 0 AS wellformed
+              |FROM ag ORDER BY conv_id""".stripMargin)),
+
+    // Reply latency: seconds each assistant turn arrived after the turn
+    // before it, aggregated per conversation (reply count, total and max
+    // wait). All-integer arithmetic so the numbers are engine-exact; the
+    // lag window and the aggregate are both conv-keyed (zero extra
+    // exchanges on the bucketed layout). Conversations with no reply
+    // (single-turn) drop out on both sides by the same rule.
+    "tr_reply_latency" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        transcripts(s, d)
+          .withColumn("prev_ts", lag($"ts_s", 1).over(w))
+          .filter($"role" === "assistant" && $"prev_ts".isNotNull)
+          .withColumn("wait_s", $"ts_s" - $"prev_ts")
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_replies"),
+            sum($"wait_s").as("total_wait_s"),
+            max($"wait_s").as("max_wait_s"))
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |lg AS (SELECT conv_id, turn_idx, role, ts_s,
+              |         lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+              |       FROM tr)
+              |SELECT conv_id, count(*) AS n_replies,
+              |  CAST(sum(ts_s - prev_ts) AS BIGINT) AS total_wait_s,
+              |  max(ts_s - prev_ts) AS max_wait_s
+              |FROM lg WHERE role = 'assistant' AND prev_ts IS NOT NULL
+              |GROUP BY conv_id ORDER BY conv_id""".stripMargin))
+  )
+}

@@ -275,6 +275,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transcript window+agg ops shuffle on conv_id exactly once") {
+    // tr_* queries stack a conv-keyed window and a conv-keyed aggregate:
+    // the aggregate must REUSE the window's hashpartitioning(conv_id)
+    // exchange, so the whole op is one conv shuffle + the presentation
+    // sort. On the production bucketed (conv_id)-sorted layout even that
+    // one exchange disappears (same property the presorted-extract pin
+    // asserts below); a second hash exchange here would mean the agg
+    // repartitioned what the window already co-located.
+    for (q <- Seq("tr_context_windows", "tr_role_alternation", "tr_reply_latency")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(1500))
+      val hashEx = "hashpartitioning\\(conv_id".r.findAllIn(p).size
+      assert(hashEx == 1,
+        s"$q must have exactly one conv_id hash exchange, found $hashEx:\n" + p.take(2000))
+    }
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
