@@ -2204,6 +2204,66 @@ object PipelineQueries {
              |WHERE n.doc_id % 5 = 0 AND NOT EXISTS (
              |  SELECT 1 FROM documents h2
              |  WHERE h2.doc_id % 5 <> 0 AND md5(h2.text) = md5(n.text))
-             |ORDER BY n.doc_id""".stripMargin))
+             |ORDER BY n.doc_id""".stripMargin)),
+
+    // Exact duplicate-SPAN detection (the ExactSubstr family, Lee et al.
+    // 2022 "Deduplicating Training Data Makes Language Models Better"):
+    // find document pairs sharing a verbatim run of >= 8 tokens. The
+    // suffix-array formulation is a single-machine algorithm; the
+    // distributed equivalent is sliding 8-token windows — two documents
+    // share an 8+-token span iff they share at least one window, and the
+    // shared-window count lower-bounds the span length. Topology is
+    // JOIN-FREE: explode windows (ordered tokens, NOT the distinct-set
+    // P4 tokenizer — spans need sequence), one exchange groups by window,
+    // windows seen in >64 docs are dropped as boilerplate (the hot-bucket
+    // rule: at corpus scale a license header lands in millions of docs
+    // and would emit O(n^2) pairs; dropping it loses nothing — every such
+    // pair family is better handled by the paragraph/minhash ops), pairs
+    // expand ROW-LOCALLY from the <=64-doc sorted group (<=2016 structs),
+    // one more exchange aggregates per pair. Never a self-join, never a
+    // product; both exchanges are capped-fanout. At 100 TB the window
+    // string would be replaced by xxhash64(window) for shuffle width
+    // (verify-on-collision), same shape.
+    "dd_exact_substring" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val W = 8
+        val cap = 64
+        val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
+          w => length(w) > 0)
+        val wins = rd(s, d, "documents")
+          .select($"doc_id", seqToks.as("tk"))
+          .filter(size($"tk") >= W)
+          .select($"doc_id", explode(transform(
+            sequence(lit(0), size($"tk") - W),
+            i => array_join(slice($"tk", i + 1, lit(W)), " "))).as("win"))
+          .distinct()
+        val grouped = wins.groupBy($"win")
+          .agg(sort_array(collect_set($"doc_id")).as("ds"))
+          .filter(size($"ds") >= 2 && size($"ds") <= cap)
+        grouped
+          .select($"win", explode(flatten(transform($"ds", (a, i) =>
+            transform(slice($"ds", i + 2, size($"ds") - i - 1),
+              b => struct(a.as("a"), b.as("b")))))).as("p"))
+          .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+          .agg(count(lit(1)).as("n_shared_windows"),
+            min($"win").as("first_win"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |t1 AS (SELECT doc_id, tk, len(tk) AS n FROM t0 WHERE len(tk) >= 8),
+             |wins AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+8], ' ') AS win
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(0, n - 8)) AS i FROM t1)),
+             |f AS (SELECT win FROM wins GROUP BY win
+             |  HAVING count(*) BETWEEN 2 AND 64),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.win
+             |  FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+             |  JOIN f ON f.win = a.win)
+             |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows,
+             |  min(win) AS first_win
+             |FROM p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -275,6 +275,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-substring dedup is join-free: two capped hash exchanges, no product") {
+    // dd_exact_substring must never plan a self-join: pairs expand
+    // row-locally from the <=64-doc window groups. Allowed exchanges are
+    // exactly the window-key and pair-key aggregations (the presentation
+    // sort is range-partitioned, not hash).
+    val p = plan(graft.SparkEntry.queries("dd_exact_substring")(spark, sf))
+    assert(!p.contains("Join"), "pair expansion degenerated to a join:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 2,
+      s"expected exactly 2 hash exchanges (win, pair), found $hashEx:\n" + p.take(2000))
+  }
+
   test("transcript window+agg ops shuffle on conv_id exactly once") {
     // tr_* queries stack a conv-keyed window and a conv-keyed aggregate:
     // the aggregate must REUSE the window's hashpartitioning(conv_id)
