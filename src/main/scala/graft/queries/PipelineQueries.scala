@@ -2264,6 +2264,82 @@ object PipelineQueries {
              |  JOIN f ON f.win = a.win)
              |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows,
              |  min(win) AS first_win
-             |FROM p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin))
+             |FROM p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Maximal-shared-SPAN length (the full ExactSubstr answer: not just
+    // "these documents share an 8-token window" but "their longest
+    // verbatim run is K tokens, in R distinct spans"). Shared windows at
+    // positions (pa, pb) belong to one contiguous span iff they sit on
+    // the same DIAGONAL d = pa - pb at consecutive pa — so max span =
+    // longest consecutive-pa run per (pair, diagonal) + W-1. Runs are
+    // found with the classic pa - row_number() grouping trick, and the
+    // window partitions by (a, b) ONLY while ordering by (d, pa): within
+    // a diagonal pa and row_number both step by 1 so pa - rn is constant,
+    // and grp collisions across diagonals are resolved by keying the
+    // run-count agg on (a, b, d, grp) — this buys the whole tail of the
+    // pipeline (run window, run agg, pair agg) a SINGLE (a, b) exchange
+    // instead of one per key refinement. Window/agg frames are bounded
+    // by shared-window count per pair <= min(doc length) — document-
+    // bounded, never corpus-bounded. Same join-free capped pair
+    // expansion as dd_exact_substring.
+    "dd_exact_substring_span" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val W = 8
+        val cap = 64
+        val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
+          w => length(w) > 0)
+        val wins = rd(s, d, "documents")
+          .select($"doc_id", seqToks.as("tk"))
+          .filter(size($"tk") >= W)
+          .select($"doc_id", posexplode(transform(
+            sequence(lit(0), size($"tk") - W),
+            i => array_join(slice($"tk", i + 1, lit(W)), " "))))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "win")
+        val grouped = wins.groupBy($"win")
+          .agg(collect_list(struct($"doc_id", $"p")).as("occ"))
+          .filter {
+            val nd = size(array_distinct(transform($"occ", _.getField("doc_id"))))
+            nd >= 2 && nd <= cap
+          }
+        val pairs = grouped.select(explode(flatten(transform($"occ", x =>
+          transform(filter($"occ", y => y.getField("doc_id") > x.getField("doc_id")),
+            y => struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+              x.getField("p").as("pa"),
+              (x.getField("p") - y.getField("p")).as("d")))))).as("pr"))
+          .select($"pr.a".as("a"), $"pr.b".as("b"), $"pr.pa".as("pa"), $"pr.d".as("d"))
+        val w1 = Window.partitionBy($"a", $"b").orderBy($"d", $"pa")
+        pairs
+          .withColumn("grp", $"pa" - row_number().over(w1))
+          .groupBy($"a", $"b", $"d", $"grp").agg(count(lit(1)).as("run"))
+          .groupBy($"a", $"b")
+          .agg((max($"run") + (W - 1)).as("max_span_tokens"),
+            count(lit(1)).as("n_spans"))
+          .select($"a".as("doc_a"), $"b".as("doc_b"),
+            $"max_span_tokens", $"n_spans")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |t1 AS (SELECT doc_id, tk, len(tk) AS n FROM t0 WHERE len(tk) >= 8),
+             |wins AS (SELECT doc_id, i AS p, array_to_string(tk[i+1:i+8], ' ') AS win
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(0, n - 8)) AS i FROM t1)),
+             |f AS (SELECT win FROM wins GROUP BY win
+             |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+             |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, a.p AS pa, a.p - b.p AS d
+             |  FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+             |  JOIN f ON f.win = a.win),
+             |r AS (SELECT a, b, d, pa,
+             |    pa - row_number() OVER (PARTITION BY a, b ORDER BY d, pa) AS grp
+             |  FROM pr),
+             |rn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS run
+             |  FROM r GROUP BY a, b, d, grp)
+             |SELECT a AS doc_a, b AS doc_b,
+             |  CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_spans
+             |FROM rn GROUP BY a, b ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

@@ -280,12 +280,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // row-locally from the <=64-doc window groups. Allowed exchanges are
     // exactly the window-key and pair-key aggregations (the presentation
     // sort is range-partitioned, not hash).
-    val p = plan(graft.SparkEntry.queries("dd_exact_substring")(spark, sf))
-    assert(!p.contains("Join"), "pair expansion degenerated to a join:\n" + p.take(2000))
-    assert(!p.contains("CartesianProduct"))
-    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
-    assert(hashEx == 2,
-      s"expected exactly 2 hash exchanges (win, pair), found $hashEx:\n" + p.take(2000))
+    // The span variant additionally pins the exchange-reuse trick: its
+    // run window partitions by (a, b) only (ordering by diagonal inside),
+    // so the window, the per-diagonal run agg, and the per-pair span agg
+    // all share ONE pair-keyed exchange — same count as the simple form.
+    for (q <- Seq("dd_exact_substring", "dd_exact_substring_span")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join"), s"$q pair expansion degenerated to a join:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"))
+      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashEx == 2,
+        s"$q: expected exactly 2 hash exchanges (win, pair), found $hashEx:\n" + p.take(2000))
+    }
   }
 
   test("transcript window+agg ops shuffle on conv_id exactly once") {
