@@ -245,6 +245,28 @@ object PipelineQueries {
         .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
       val edges = bandedIdPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
       GraphOps.connectedComponents(items.select($"id"), edges)
+    }),
+    // dedup-proper exact-substring topology: doc -> min-doc-of-window
+    // LINKS (bucket-min, the dd_ngram_jaccard idiom) instead of all
+    // pairs — O(occurrences) per window with NO cap needed, the clique
+    // recovered transitively by CC. This is the path a 100 TB exact-
+    // substring dedup would run; the pairwise catalog entries are the
+    // span-reporting analytics on top, protected by the 64-doc cap.
+    "sp_exact_substring_min" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
+        w => length(w) > 0)
+      val wins = rd(s, d, "documents")
+        .select($"doc_id", seqToks.as("tk"))
+        .filter(size($"tk") >= W)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0), size($"tk") - W),
+          i => array_join(slice($"tk", i + 1, lit(W)), " "))).as("win"))
+      wins.withColumn("mn", min($"doc_id").over(Window.partitionBy($"win")))
+        .filter($"doc_id" =!= $"mn")
+        .groupBy($"doc_id").agg(min($"mn").as("link_to"))
     }))
 
   val entries: Seq[(String, Entry)] = Seq(
