@@ -43,8 +43,19 @@ object TranscriptQueries {
           .when(pmod($"turn_idx", lit(7)) === 6, "tool")
           .when(pmod($"turn_idx", lit(2)) === 0, "user")
           .otherwise("assistant").as("role"),
+        // input_hint's tool column: the invoked tool's name on tool
+        // turns (deterministic 5-name rotation), null elsewhere
+        when(pmod($"doc_id", lit(17)) =!= 3 && pmod($"turn_idx", lit(7)) === 6,
+          concat(lit("fn"), pmod($"doc_id", lit(5)).cast("string"))).as("tool"),
         ($"turn_idx" * 40 + pmod($"doc_id" * 7, lit(13))).cast("long").as("ts_s"),
-        $"text")
+        // planted canned-reply family (doc_id % 23 == 5): a 3-variant
+        // template answer repeated verbatim across conversations — the
+        // corpus has no natural exact-duplicate texts, so the canned-
+        // reply detector needs this family to be non-degenerate
+        when(pmod($"doc_id", lit(23)) === 5,
+          concat(lit("unable to help with that request variant "),
+            pmod($"doc_id", lit(3)).cast("string")))
+          .otherwise($"text").as("text"))
   }
 
   /** The same construction as a DuckDB CTE (shared by all oracles). */
@@ -57,8 +68,13 @@ object TranscriptQueries {
       |              WHEN (doc_id - cv*cv) % 7 = 6 THEN 'tool'
       |              WHEN (doc_id - cv*cv) % 2 = 0 THEN 'user'
       |              ELSE 'assistant' END AS role,
+      |         CASE WHEN doc_id % 17 <> 3 AND (doc_id - cv*cv) % 7 = 6
+      |              THEN 'fn' || CAST(doc_id % 5 AS VARCHAR) END AS tool,
       |         (doc_id - cv*cv)*40 + (doc_id*7) % 13 AS ts_s,
-      |         text
+      |         CASE WHEN doc_id % 23 = 5
+      |              THEN 'unable to help with that request variant ' ||
+      |                   CAST(doc_id % 3 AS VARCHAR)
+      |              ELSE text END AS text
       |       FROM t0)""".stripMargin
 
   val entries: Seq[(String, Entry)] = Seq(
@@ -154,6 +170,62 @@ object TranscriptQueries {
               |  CAST(sum(ts_s - prev_ts) AS BIGINT) AS total_wait_s,
               |  max(ts_s - prev_ts) AS max_wait_s
               |FROM lg WHERE role = 'assistant' AND prev_ts IS NOT NULL
-              |GROUP BY conv_id ORDER BY conv_id""".stripMargin))
+              |GROUP BY conv_id ORDER BY conv_id""".stripMargin)),
+
+    // Canned-reply detection: assistant texts repeated VERBATIM across
+    // conversations (template answers, refusal boilerplate — the stuff a
+    // training mix must downweight or drop). One hash-keyed map-side-
+    // combined aggregate over assistant turns only; nothing pairwise,
+    // nothing corpus-windowed. At 100 TB this is the cheapest dedup
+    // signal a transcript store yields.
+    "tr_canned_replies" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        transcripts(s, d)
+          .filter($"role" === "assistant")
+          .groupBy(md5($"text").as("h"))
+          .agg(countDistinct($"conv_id").as("n_convs"),
+            count(lit(1)).as("n_uses"),
+            min(substring($"text", 1, 32)).as("snippet"))
+          .filter($"n_convs" >= 2)
+          .orderBy(desc("n_uses"), $"h")
+      },
+      Some(s"""WITH $sqlTranscripts
+              |SELECT md5(text) AS h,
+              |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+              |  CAST(count(*) AS BIGINT) AS n_uses,
+              |  min(substr(text, 1, 32)) AS snippet
+              |FROM tr WHERE role = 'assistant'
+              |GROUP BY md5(text) HAVING count(DISTINCT conv_id) >= 2
+              |ORDER BY n_uses DESC, h""".stripMargin)),
+
+    // Tool-transition statistics: which tool follows which within a
+    // conversation's tool-call sequence (the agent-behavior profile a
+    // transcript corpus is mined for before SFT). Lead over tool turns
+    // per conversation, then a bounded (tool, tool) key-space aggregate
+    // — the conv window and the extract share the bucketed layout's
+    // conv_id clustering; the final agg key space is |tools|^2.
+    "tr_tool_transitions" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        transcripts(s, d)
+          .filter($"role" === "tool")
+          .withColumn("next_tool", lead($"tool", 1).over(w))
+          .filter($"next_tool".isNotNull)
+          .groupBy($"tool", $"next_tool")
+          .agg(count(lit(1)).as("n_transitions"),
+            countDistinct($"conv_id").as("n_convs"))
+          .orderBy($"tool", $"next_tool")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |sq AS (SELECT conv_id, tool,
+              |         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+              |       FROM tr WHERE role = 'tool')
+              |SELECT tool, next_tool,
+              |  CAST(count(*) AS BIGINT) AS n_transitions,
+              |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+              |FROM sq WHERE next_tool IS NOT NULL
+              |GROUP BY tool, next_tool ORDER BY tool, next_tool""".stripMargin))
   )
 }

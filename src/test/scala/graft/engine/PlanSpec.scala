@@ -302,13 +302,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one exchange disappears (same property the presorted-extract pin
     // asserts below); a second hash exchange here would mean the agg
     // repartitioned what the window already co-located.
-    for (q <- Seq("tr_context_windows", "tr_role_alternation", "tr_reply_latency")) {
+    // tr_tool_transitions joins the loop: its countDistinct re-keys on
+    // (tool, next_tool, conv_id) — a bounded |tools|^2-scale key space,
+    // not a second conv-keyed shuffle of the corpus.
+    for (q <- Seq("tr_context_windows", "tr_role_alternation", "tr_reply_latency",
+        "tr_tool_transitions")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(1500))
       val hashEx = "hashpartitioning\\(conv_id".r.findAllIn(p).size
       assert(hashEx == 1,
         s"$q must have exactly one conv_id hash exchange, found $hashEx:\n" + p.take(2000))
     }
+    // canned-reply detection is pure aggregation: no window, no join —
+    // the only shuffles are the hash-keyed distinct-agg pair
+    val cp = plan(graft.SparkEntry.queries("tr_canned_replies")(spark, sf))
+    assert(!cp.contains("Join") && !cp.contains("Window"), cp.take(1500))
   }
 
   test("presorted bucketed extract is a narrow plan: zero shuffles") {

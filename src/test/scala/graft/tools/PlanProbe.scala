@@ -5,7 +5,7 @@ object PlanProbe {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("dd_exact_substring_span")) {
+    for (q <- Seq("tr_canned_replies", "tr_tool_transitions")) {
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val p = df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"=== $q: exchanges=${"Exchange".r.findAllIn(p).size} windows=${"Window".r.findAllIn(p).size}")
