@@ -254,7 +254,6 @@ object PipelineQueries {
     // span-reporting analytics on top, protected by the 64-doc cap.
     "sp_exact_substring_min" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val W = 8
       val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
         w => length(w) > 0)
@@ -264,7 +263,13 @@ object PipelineQueries {
         .select($"doc_id", explode(transform(
           sequence(lit(0), size($"tk") - W),
           i => array_join(slice($"tk", i + 1, lit(W)), " "))).as("win"))
-      wins.withColumn("mn", min($"doc_id").over(Window.partitionBy($"win")))
+      // min per window via map-side-combined agg + equi-join back, NOT a
+      // window function: a corpus-hot window (license header in millions
+      // of docs) makes a Window partition one unsplittable straggler
+      // task, while the agg collapses it map-side and AQE can skew-split
+      // the join probe
+      val mins = wins.groupBy($"win").agg(min($"doc_id").as("mn"))
+      wins.join(mins, "win")
         .filter($"doc_id" =!= $"mn")
         .groupBy($"doc_id").agg(min($"mn").as("link_to"))
     }))
