@@ -99,6 +99,65 @@ object StreamingExtract {
       }
   }
 
+  final case class CtxTurn(idx: Int, role: String, snip: String)
+  final case class CtxState(recent: List[CtxTurn], lastIdx: Int,
+      lastActivityMs: Long)
+  final case class SftExample(conv_id: String, turn_idx: Int, n_ctx: Int,
+      ctx: String)
+
+  /** Streaming SFT context-window assembly — the streaming face of the
+    * batch `tr_context_windows` operator: every assistant turn is emitted
+    * as a training example paired with its rendered dialogue history (the
+    * preceding `k` turns as "role: snippet"). State per conversation is
+    * the BOUNDED last-`k` turn ring plus a high-water turn index —
+    * independent of conversation length — and is evicted by event-time
+    * timeout like [[sessionize]], so the store tracks ACTIVE
+    * conversations only.
+    *
+    * Same replay trade as [[sessionize]]: rows at idx <= lastIdx are
+    * ignored (a replay must not duplicate an example; a late DISTINCT
+    * turn cannot retroactively enter already-emitted contexts anyway).
+    * Under in-order delivery the emitted examples equal the batch
+    * operator's rows exactly — asserted in StreamingSpec.
+    */
+  def contextWindows(spark: SparkSession, turns: DataFrame, k: Int = 3,
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SftExample] = {
+    import spark.implicits._
+    turns
+      .withWatermark("ts", WatermarkDelay)
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"ts")
+      .as[(String, Int, String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CtxState, SftExample](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (convId, rows, state: GroupState[CtxState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(
+              CtxState(Nil, -1, Long.MinValue))
+            var recent = prev.recent
+            var last = prev.lastIdx
+            var maxTs = prev.lastActivityMs
+            val out = scala.collection.mutable.ArrayBuffer.empty[SftExample]
+            rows.toSeq.sortBy(_._2).foreach { case (_, idx, role, text, ts) =>
+              if (ts != null) maxTs = math.max(maxTs, ts.getTime)
+              if (idx > last) {
+                last = idx
+                if (role == "assistant")
+                  out += SftExample(convId, idx, recent.size,
+                    recent.map(t => s"${t.role}: ${t.snip}").mkString(" | "))
+                recent = (recent :+ CtxTurn(idx, role, text.take(24)))
+                  .takeRight(k)
+              }
+            }
+            state.update(CtxState(recent, last, maxTs))
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + gapMs)
+            out.iterator
+          }
+      }
+  }
+
   private def sessionStep(convId: String,
       rows: Iterator[(String, Int, String, java.sql.Timestamp)],
       state: GroupState[ConvState], gapMs: Long): ConvSummary = {

@@ -125,4 +125,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessRows.exists(r => r.conv_id == "conv-00000000" && r.closed),
       "watermark past idle timeout must close the conversation's state")
   }
+
+  test("streaming SFT context assembly matches the batch semantics across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    // the generator's ts is a function of turn_idx alone, so a later
+    // conversation's idx-0 turns would sit behind the watermark the
+    // giant conversation already advanced and be (correctly) dropped as
+    // late — remap ts to global arrival order, the shape of a real
+    // transcript stream
+    val turns = TranscriptGen.turns(6, 16).toVector.zipWithIndex.map {
+      case (t, i) => t.copy(ts = new java.sql.Timestamp(
+        1700000000000L + i * 60000L))
+    }
+    val out = StreamingExtract.contextWindows(spark, input.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("ctx_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ctx").toString)
+      .start()
+    // split mid-conversation: state must carry the ring across batches
+    val cut = turns.length / 2
+    input.addData(turns.take(cut))
+    q.processAllAvailable()
+    input.addData(turns.drop(cut))
+    q.processAllAvailable()
+    // replay of already-processed turns must add no examples
+    input.addData(turns.take(5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ctx_out")
+      .as[StreamingExtract.SftExample]
+      .collect().sortBy(e => (e.conv_id, e.turn_idx)).toVector
+    // batch semantics replayed independently: last-3 "role: snippet"
+    // history for each assistant turn (tr_context_windows' definition)
+    val want = turns.groupBy(_.conv_id).toVector.flatMap { case (cid, ts) =>
+      val sorted = ts.sortBy(_.turn_idx)
+      sorted.zipWithIndex.collect { case (t, i) if t.role == "assistant" =>
+        val recent = sorted.slice(math.max(0, i - 3), i)
+        StreamingExtract.SftExample(cid, t.turn_idx, recent.size,
+          recent.map(p => s"${p.role}: ${p.text.take(24)}").mkString(" | "))
+      }
+    }.sortBy(e => (e.conv_id, e.turn_idx))
+    if (got != want) {
+      println(s"GOT ${got.size} WANT ${want.size}")
+      got.zipAll(want, null, null).filter { case (a, b) => a != b }.take(3)
+        .foreach { case (a, b) => println(s"GOT  $a\nWANT $b\n") }
+    }
+    assert(got == want)
+  }
 }

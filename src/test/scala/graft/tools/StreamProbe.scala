@@ -51,6 +51,23 @@ object StreamProbe {
       .readAll(spark, s"$dir/t").select("conv_id", "turn_idx").distinct().count()
     println("DEDUP_ROWS=" + spark.table("dedup_probe").count() +
       " UNIQUE_KEYS=" + unique)
+    // SFT context assembly over the same file source: every assistant
+    // turn must emit exactly one example
+    val ctxSrc = spark.readStream
+      .schema(graft.engine.TranscriptsTable.readAll(spark, s"$dir/t").schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/t/snapshot=1")
+    val q3 = StreamingExtract.contextWindows(spark, ctxSrc)
+      .writeStream.format("memory").queryName("ctx_probe")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sp-ck2").toString)
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    val assistants = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/t/snapshot=1").filter("role = 'assistant'").count()
+    println("CTX_ROWS=" + spark.table("ctx_probe").count() +
+      " ASSISTANT_TURNS=" + assistants)
     spark.stop()
   }
 }
