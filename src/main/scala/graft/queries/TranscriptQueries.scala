@@ -226,6 +226,45 @@ object TranscriptQueries {
               |  CAST(count(*) AS BIGINT) AS n_transitions,
               |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
               |FROM sq WHERE next_tool IS NOT NULL
-              |GROUP BY tool, next_tool ORDER BY tool, next_tool""".stripMargin))
+              |GROUP BY tool, next_tool ORDER BY tool, next_tool""".stripMargin)),
+
+    // Conversation-length profile: exact p50/p90/p99 turns-per-
+    // conversation plus the max (the giant-conversation indicator that
+    // decides whether the salted extract path is needed). Same scale-
+    // safe selection topology as ta_length_quantiles: sizes from one
+    // conv-keyed agg, then a bounded HISTOGRAM of distinct sizes — the
+    // cumulative window ranges over that summary only, never the
+    // conversations (k-th smallest = least size whose cumulative count
+    // reaches k = exact type-1 selection on integers). The oracle stays
+    // the row_number definition, so the hash match proves the bounded
+    // topology computes the exact quantiles.
+    "tr_conv_length_profile" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val sizes = transcripts(s, d).groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_turns"))
+        val hist = sizes.groupBy($"n_turns").agg(count(lit(1)).as("c"))
+        val wCum = Window.orderBy($"n_turns")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cum", sum($"c").over(wCum))
+          .withColumn("n", sum($"c").over(Window.partitionBy()))
+          .agg(max($"n").as("n_convs"),
+            min(when($"cum" >= ceil($"n" * 0.5), $"n_turns")).as("p50_turns"),
+            min(when($"cum" >= ceil($"n" * 0.9), $"n_turns")).as("p90_turns"),
+            min(when($"cum" >= ceil($"n" * 0.99), $"n_turns")).as("p99_turns"),
+            max($"n_turns").as("max_turns"))
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |sz AS (SELECT conv_id, count(*) AS n_turns FROM tr GROUP BY conv_id),
+              |r AS (SELECT n_turns,
+              |    row_number() OVER (ORDER BY n_turns, conv_id) AS rn,
+              |    count(*) OVER () AS n FROM sz)
+              |SELECT CAST(count(*) AS BIGINT) AS n_convs,
+              |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_turns END) AS p50_turns,
+              |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_turns END) AS p90_turns,
+              |  max(CASE WHEN rn = ceil(n * 0.99) THEN n_turns END) AS p99_turns,
+              |  CAST(max(n_turns) AS BIGINT) AS max_turns
+              |FROM r""".stripMargin))
   )
 }

@@ -231,6 +231,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conversation-length profile windows range over the size histogram only") {
+    // tr_conv_length_profile's scale contract: the cumulative/total
+    // windows sit above the bounded size-histogram aggregate. The killer
+    // shape would window over the per-conversation size rows themselves
+    // (a global row_number over every conversation) — detectable because
+    // that child still carries conv_id.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = graft.SparkEntry.queries("tr_conv_length_profile")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(wins.nonEmpty, "profile lost its summary windows entirely")
+    wins.foreach { w =>
+      assert(!w.child.output.exists(_.name == "conv_id"),
+        "profile window ranges over per-conversation rows, not the " +
+          "bounded histogram:\n" + w.toString.take(1200))
+    }
+  }
+
   test("paragraph dedup: hash equi-join on the paragraph key, no windows") {
     // dd_paragraph_exact's scale contract: the first-owner resolution is
     // a map-side-combinable agg + an equi-join on the md5 key — never a
