@@ -265,6 +265,77 @@ object TranscriptQueries {
               |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_turns END) AS p90_turns,
               |  max(CASE WHEN rn = ceil(n * 0.99) THEN n_turns END) AS p99_turns,
               |  CAST(max(n_turns) AS BIGINT) AS max_turns
-              |FROM r""".stripMargin))
+              |FROM r""".stripMargin)),
+
+    // Retry detection: a user re-sending (nearly) the same request right
+    // after their previous message — the duplicated-prompt family an SFT
+    // mix must collapse (it otherwise overweights whatever answer followed
+    // the retry). Signal: token-set Jaccard between each user turn and the
+    // PREVIOUS user turn of the same conversation. Topology: filter to
+    // user turns, ONE conv-keyed lag window (frame = 1 row), row-local
+    // tokenize + set math — no pairwise join, nothing corpus-windowed; on
+    // the bucketed (conv_id, turn_idx)-sorted layout the window reuses the
+    // scan order (zero exchanges, same shape PlanSpec pins for tr_*).
+    // The corpus has no natural consecutive retries, so two families are
+    // planted in the frame (same technique as dd_exact_substring's planted
+    // spans / dd_embedding_lsh's perturbed copy): conv % 9 == 2 user turns
+    // repeat one text verbatim (jac = 1, exact), conv % 9 == 5 user turns
+    // differ only in a trailing config token (jac ≈ 0.8, near-retry).
+    "tr_retry_detect" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.{jaccard, tokens}
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        transcripts(s, d)
+          .withColumn("text",
+            when(pmod(cv, lit(9)) === 2 && $"role" === "user",
+              lit("cancel that and retry the export"))
+            .when(pmod(cv, lit(9)) === 5 && $"role" === "user",
+              concat(lit("please run the nightly job again with config cfg"),
+                pmod($"turn_idx", lit(3)).cast("string")))
+            .otherwise($"text"))
+          .filter($"role" === "user")
+          .withColumn("prev_idx", lag($"turn_idx", 1).over(w))
+          .withColumn("prev_text", lag($"text", 1).over(w))
+          .filter($"prev_idx".isNotNull)
+          .withColumn("jac",
+            round(jaccard(tokens($"text"), tokens($"prev_text")), 6))
+          .filter($"jac" >= 0.5)
+          .select($"conv_id", $"prev_idx", $"turn_idx", $"jac",
+            ($"text" === $"prev_text").as("exact"))
+          .orderBy($"conv_id", $"turn_idx")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |rt AS (SELECT conv_id, turn_idx, role,
+              |         CASE WHEN CAST(substr(conv_id, 6, 4) AS BIGINT) % 9 = 2
+              |                   AND role = 'user'
+              |              THEN 'cancel that and retry the export'
+              |              WHEN CAST(substr(conv_id, 6, 4) AS BIGINT) % 9 = 5
+              |                   AND role = 'user'
+              |              THEN 'please run the nightly job again with config cfg'
+              |                   || CAST(turn_idx % 3 AS VARCHAR)
+              |              ELSE text END AS text
+              |       FROM tr),
+              |u AS (SELECT conv_id, turn_idx, text,
+              |        lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx,
+              |        lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+              |      FROM rt WHERE role = 'user'),
+              |tk AS (SELECT conv_id, prev_idx, turn_idx, text, prev_text,
+              |         list_sort(list_distinct(list_filter(
+              |           string_split_regex(lower(text), '[^a-z0-9]+'),
+              |           x -> length(x) > 2))) AS t_a,
+              |         list_sort(list_distinct(list_filter(
+              |           string_split_regex(lower(prev_text), '[^a-z0-9]+'),
+              |           x -> length(x) > 2))) AS t_b
+              |       FROM u WHERE prev_idx IS NOT NULL)
+              |SELECT conv_id, prev_idx, turn_idx,
+              |  round(CAST(len(list_intersect(t_a, t_b)) AS DOUBLE) /
+              |        CAST(len(list_distinct(list_concat(t_a, t_b))) AS DOUBLE), 6) AS jac,
+              |  text = prev_text AS exact
+              |FROM tk
+              |WHERE round(CAST(len(list_intersect(t_a, t_b)) AS DOUBLE) /
+              |            CAST(len(list_distinct(list_concat(t_a, t_b))) AS DOUBLE), 6) >= 0.5
+              |ORDER BY conv_id, turn_idx""".stripMargin))
   )
 }

@@ -324,8 +324,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tr_tool_transitions joins the loop: its countDistinct re-keys on
     // (tool, next_tool, conv_id) — a bounded |tools|^2-scale key space,
     // not a second conv-keyed shuffle of the corpus.
+    // tr_retry_detect is the same shape minus the aggregate: one lag
+    // window on conv_id, then row-local tokenize/Jaccard — the set math
+    // must never induce a pairwise join or a second exchange.
     for (q <- Seq("tr_context_windows", "tr_role_alternation", "tr_reply_latency",
-        "tr_tool_transitions")) {
+        "tr_tool_transitions", "tr_retry_detect")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(1500))
       val hashEx = "hashpartitioning\\(conv_id".r.findAllIn(p).size
