@@ -279,4 +279,104 @@ object Multimodal {
       .map(id => MediaRow(id, "application/pdf", pdfBytes(id)))
       .toDF()
   }
+
+  /** REAL decoder arm #3 — WAV/RIFF (the audio media type): parses the
+    * canonical 44-byte PCM header with only the JDK. RIFF formats are
+    * LITTLE-endian (PNG is big-endian — the two arms together pin both
+    * byte orders), so the reads here are LE u16/u32. Validity = the
+    * RIFF/WAVE/fmt/data magics plus PCM format tag 1; the integrity
+    * check (the role CRC plays for PNG and the startxref dereference for
+    * PDF) is the header's own redundancy: byte_rate must equal
+    * sample_rate × block_align. Feature layout (fixed [[FeatureDim]]):
+    * [riff_ok, channels, sample_rate, bits_per_sample, n_samples,
+    * rate_ok, 0, 0]; a bad header yields [0, -1, -1, -1, -1, -1, 0, 0].
+    * n_samples = data chunk size / block_align (integer by
+    * construction — no float duration to drift cross-engine).
+    */
+  object WavHeaderDecoder extends MediaDecoder {
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def magic(b: Array[Byte], off: Int, m: String): Boolean =
+      (0 until m.length).forall(i => b(off + i) == m.charAt(i).toByte)
+
+    def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = {
+      val bs = batch.size
+      batch.map { r =>
+        val b = r.payload
+        val feats = new Array[Double](FeatureDim)
+        val ok = b.length >= 44 && magic(b, 0, "RIFF") &&
+          magic(b, 8, "WAVE") && magic(b, 12, "fmt ") &&
+          magic(b, 36, "data") && le16(b, 20) == 1 // PCM format tag
+        if (!ok) {
+          java.util.Arrays.fill(feats, 1, 6, -1.0)
+        } else {
+          val ch = le16(b, 22)
+          val sr = le32(b, 24)
+          val byteRate = le32(b, 28)
+          val blockAlign = le16(b, 32)
+          val bps = le16(b, 34)
+          val dataSize = le32(b, 40)
+          feats(0) = 1.0; feats(1) = ch.toDouble; feats(2) = sr.toDouble
+          feats(3) = bps.toDouble
+          feats(4) = if (blockAlign > 0) (dataSize / blockAlign).toDouble else -1.0
+          feats(5) = if (byteRate == sr * blockAlign) 1.0 else 0.0
+        }
+        DecodedRow(r.doc_id, r.media_type, b.length, bs, feats)
+      }
+    }
+  }
+
+  /** Deterministic REAL WAV header bytes for doc_id: canonical 44-byte
+    * RIFF/WAVE PCM header (format tag 1, channels = 1 + id % 2, sample
+    * rate from the standard set {8000, 16000, 22050, 44100, 48000} by
+    * id % 5, bits per sample from {8, 16, 24, 32} by id % 4, data size
+    * = (id % 1000) samples × block align, RIFF size = 36 + data size).
+    * Corruption families mirror [[pngBytes]]/[[pdfBytes]]: id % 11 == 0
+    * flips the leading 'R'; else id % 13 == 0 stores byte_rate off by
+    * one (violating the sample_rate × block_align identity).
+    */
+  def wavBytes(docId: Long): Array[Byte] = {
+    val ch = (1 + docId % 2).toInt
+    val sr = Array(8000, 16000, 22050, 44100, 48000)((docId % 5).toInt)
+    val bps = Array(8, 16, 24, 32)((docId % 4).toInt)
+    val blockAlign = ch * bps / 8
+    val dataSize = (docId % 1000).toInt * blockAlign
+    val byteRate = sr * blockAlign +
+      (if (docId % 11 != 0 && docId % 13 == 0) 1 else 0)
+    val out = new Array[Byte](44)
+    def ascii(off: Int, m: String): Unit =
+      for (i <- 0 until m.length) out(off + i) = m.charAt(i).toByte
+    def le32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36L + dataSize); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16L); le16(20, 1); le16(22, ch)
+    le32(24, sr.toLong); le32(28, byteRate.toLong)
+    le16(32, blockAlign); le16(34, bps)
+    ascii(36, "data"); le32(40, dataSize.toLong)
+    if (docId % 11 == 0) out(0) = (out(0) ^ 0xff).toByte
+    out
+  }
+
+  /** Media frame whose payloads are [[wavBytes]] — real bytes the
+    * [[WavHeaderDecoder]] round-trips by actual parsing.
+    */
+  def wavMediaFrom(spark: SparkSession, docIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    docIds.select($"doc_id".cast("long")).as[Long]
+      .map(id => MediaRow(id, "audio/wav", wavBytes(id)))
+      .toDF()
+  }
 }

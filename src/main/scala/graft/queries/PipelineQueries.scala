@@ -994,6 +994,38 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 13 <> 0 END AS xref_ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL byte parsing arm #3 — WAV/RIFF audio: payloads are actual
+    // 44-byte PCM headers (Multimodal.wavBytes — little-endian fields,
+    // two corruption families) and the engine answer comes from
+    // WavHeaderDecoder PARSING them: RIFF/WAVE/fmt/data magics, LE
+    // u16/u32 field reads (PNG's arm pins big-endian; this pins little),
+    // and the byte_rate = sample_rate × block_align redundancy check.
+    // Oracle recomputes what the writer encoded arithmetically.
+    "mm_wav_header" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ids = rd(s, d, "documents").select($"doc_id")
+        val media = Multimodal.wavMediaFrom(s, ids)
+        val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
+          decoder = Multimodal.WavHeaderDecoder).toDF()
+        val ok = element_at($"features", 1) === 1.0
+        dec.select($"doc_id", ok.as("valid_riff"),
+            when(ok, element_at($"features", 2).cast("int")).as("channels"),
+            when(ok, element_at($"features", 3).cast("int")).as("sample_rate"),
+            when(ok, element_at($"features", 4).cast("int")).as("bits_per_sample"),
+            when(ok, element_at($"features", 5).cast("int")).as("n_samples"),
+            when(ok, element_at($"features", 6) === 1.0).as("rate_ok"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  doc_id % 11 <> 0 AS valid_riff,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INTEGER) + 1] AS INTEGER) END AS sample_rate,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST([8, 16, 24, 32][CAST(doc_id % 4 AS INTEGER) + 1] AS INTEGER) END AS bits_per_sample,
+             |  CASE WHEN doc_id % 11 <> 0 THEN CAST(doc_id % 1000 AS INTEGER) END AS n_samples,
+             |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 13 <> 0 END AS rate_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---------------- Text analysis ----------------
 
     "ta_langid" -> Entry(

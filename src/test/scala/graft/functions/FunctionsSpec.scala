@@ -175,6 +175,41 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "plain text, not a pdf".getBytes))).head.features(0) == 0.0)
   }
 
+  test("wav header decoder really parses bytes: LE fields, rate check") {
+    for (id <- 0L to 200L) {
+      val f = Multimodal.WavHeaderDecoder
+        .decodeBatch(Seq(Multimodal.MediaRow(id, "audio/wav",
+          Multimodal.wavBytes(id)))).head.features
+      if (id % 11 == 0) {
+        assert(f(0) == 0.0 && f(1) == -1.0, s"id=$id: broken RIFF not detected")
+      } else {
+        assert(f(0) == 1.0 && f(1) == (1 + id % 2) &&
+          f(2) == Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt) &&
+          f(3) == Array(8, 16, 24, 32)((id % 4).toInt) &&
+          f(4) == (id % 1000), s"id=$id: bad fields ${f.toVector}")
+        assert(f(5) == (if (id % 13 == 0) 0.0 else 1.0),
+          s"id=$id: rate verdict wrong")
+      }
+    }
+    // corrupting the stored sample rate (not a planted family) must fail
+    // ONLY the redundancy check — proves byte_rate is verified against
+    // the parsed fields, not assumed
+    val b = Multimodal.wavBytes(1L)
+    b(25) = (b(25) ^ 0x01).toByte // sample rate, second LE byte
+    val f = Multimodal.WavHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(1L, "audio/wav", b))).head.features
+    assert(f(0) == 1.0 && f(5) == 0.0, "rate inconsistency not caught")
+    // a non-PCM format tag is invalid; truncated payload: no crash
+    val g = Multimodal.wavBytes(2L)
+    g(20) = 3 // IEEE float tag
+    assert(Multimodal.WavHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(2L, "audio/wav", g))).head
+      .features(0) == 0.0)
+    assert(Multimodal.WavHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(3L, "audio/wav",
+        Multimodal.wavBytes(3L).take(30)))).head.features(0) == 0.0)
+  }
+
   test("urlCanon: ports, www, fragment, tracking params, trailing slash") {
     import spark.implicits._
     val urls = Seq(
