@@ -336,6 +336,190 @@ object TranscriptQueries {
               |FROM tk
               |WHERE round(CAST(len(list_intersect(t_a, t_b)) AS DOUBLE) /
               |            CAST(len(list_distinct(list_concat(t_a, t_b))) AS DOUBLE), 6) >= 0.5
-              |ORDER BY conv_id, turn_idx""".stripMargin))
+              |ORDER BY conv_id, turn_idx""".stripMargin)),
+
+    // Duplicate conversation-PREFIX detection: agent logs share openings
+    // verbatim (system prompt + canned greeting + first probe), and a
+    // training mix that keeps every copy overweights the template. The
+    // fingerprint is order-sensitive over the first 4 turns — per-turn
+    // md5, slotted by turn_idx into a conditional-max aggregate (map-side
+    // combinable: no collect_list, no window), concatenated in slot order
+    // and re-hashed. Topology: one conv-keyed agg builds fingerprints,
+    // one fingerprint-keyed agg groups them — both exchanges bounded-key,
+    // nothing pairwise. The corpus has no natural shared openings, so two
+    // template families are planted (cv % 11 == 4 and == 7), each
+    // overriding turns 0-3 with a fixed per-slot text.
+    "tr_prefix_dedup" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        def slot(i: Int) = coalesce(
+          max(when($"turn_idx" === i, md5($"text"))), lit(""))
+        transcripts(s, d)
+          .withColumn("text",
+            when(pmod(cv, lit(11)) === 4 && $"turn_idx" < 4,
+              concat(lit("standard onboarding greeting step "),
+                $"turn_idx".cast("string")))
+            .when(pmod(cv, lit(11)) === 7 && $"turn_idx" < 4,
+              concat(lit("escalation template opener step "),
+                $"turn_idx".cast("string")))
+            .otherwise($"text"))
+          .filter($"turn_idx" < 4)
+          .groupBy($"conv_id")
+          .agg(md5(concat_ws("|", slot(0), slot(1), slot(2), slot(3)))
+            .as("h"))
+          .groupBy($"h")
+          .agg(count(lit(1)).as("n_convs"), min($"conv_id").as("keeper_conv"))
+          .filter($"n_convs" >= 2)
+          .orderBy($"h")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |pt AS (SELECT conv_id, turn_idx,
+              |         CASE WHEN CAST(substr(conv_id, 6, 4) AS BIGINT) % 11 = 4
+              |                   AND turn_idx < 4
+              |              THEN 'standard onboarding greeting step ' ||
+              |                   CAST(turn_idx AS VARCHAR)
+              |              WHEN CAST(substr(conv_id, 6, 4) AS BIGINT) % 11 = 7
+              |                   AND turn_idx < 4
+              |              THEN 'escalation template opener step ' ||
+              |                   CAST(turn_idx AS VARCHAR)
+              |              ELSE text END AS text
+              |       FROM tr WHERE turn_idx < 4),
+              |pf AS (SELECT conv_id, md5(concat_ws('|',
+              |         coalesce(max(CASE WHEN turn_idx = 0 THEN md5(text) END), ''),
+              |         coalesce(max(CASE WHEN turn_idx = 1 THEN md5(text) END), ''),
+              |         coalesce(max(CASE WHEN turn_idx = 2 THEN md5(text) END), ''),
+              |         coalesce(max(CASE WHEN turn_idx = 3 THEN md5(text) END), ''))) AS h
+              |       FROM pt GROUP BY conv_id)
+              |SELECT h, CAST(count(*) AS BIGINT) AS n_convs,
+              |  min(conv_id) AS keeper_conv
+              |FROM pf GROUP BY h HAVING count(*) >= 2 ORDER BY h""".stripMargin)),
+
+    // Speaker-balance QA: per-conversation turn and character mass by
+    // role, assistant character share, and the balance verdict (share in
+    // [0.2, 0.8]) — the monologue/echo-chamber gate before a transcript
+    // enters an SFT mix (a conversation that is 95 % assistant text is a
+    // lecture, not a dialogue). One conv-keyed map-side-combinable
+    // aggregate; the share is one integer-over-integer division rounded
+    // to 6 dp (same determinism idiom as tr_retry_detect's jac).
+    "tr_speaker_balance" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        def chars(r: String) =
+          sum(when($"role" === r, length($"text")).otherwise(0L))
+        transcripts(s, d)
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_turns"),
+            count(when($"role" === "user", 1)).as("n_user"),
+            count(when($"role" === "assistant", 1)).as("n_assistant"),
+            count(when($"role" === "tool", 1)).as("n_tool"),
+            chars("user").as("chars_user"),
+            chars("assistant").as("chars_assistant"),
+            sum(length($"text")).as("chars_total"))
+          .withColumn("assistant_share",
+            round($"chars_assistant".cast("double") / $"chars_total", 6))
+          .withColumn("balanced",
+            $"assistant_share".between(0.2, 0.8))
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |ag AS (SELECT conv_id, count(*) AS n_turns,
+              |         count(CASE WHEN role = 'user' THEN 1 END) AS n_user,
+              |         count(CASE WHEN role = 'assistant' THEN 1 END) AS n_assistant,
+              |         count(CASE WHEN role = 'tool' THEN 1 END) AS n_tool,
+              |         CAST(sum(CASE WHEN role = 'user' THEN length(text) ELSE 0 END) AS BIGINT) AS chars_user,
+              |         CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END) AS BIGINT) AS chars_assistant,
+              |         CAST(sum(length(text)) AS BIGINT) AS chars_total
+              |       FROM tr GROUP BY conv_id)
+              |SELECT conv_id, n_turns, n_user, n_assistant, n_tool,
+              |  chars_user, chars_assistant, chars_total,
+              |  round(CAST(chars_assistant AS DOUBLE) / chars_total, 6) AS assistant_share,
+              |  round(CAST(chars_assistant AS DOUBLE) / chars_total, 6)
+              |    BETWEEN 0.2 AND 0.8 AS balanced
+              |FROM ag ORDER BY conv_id""".stripMargin)),
+
+    // PII screen over turns: which conversations carry emails / phone
+    // numbers / SSNs, per-type turn counts — the privacy gate a transcript
+    // corpus passes before training (CCPA/GDPR-style triage: route to
+    // redaction, don't silently train). Spark runs the REAL TextFunctions
+    // regex detectors over a payload of sanitized corpus text (letters
+    // only — provably match-free) plus PII planted by a (doc_id % 13)
+    // rule; the oracle counts by the same modular rule with no regex at
+    // all, so a hash match proves the detectors fire exactly on the
+    // planted turns and never on clean text. Row-local rlike chain
+    // (codegen'd), one conv-keyed aggregate; zero windows, zero joins.
+    "tr_pii_turns" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.{EmailRe, PhoneRe, SsnRe}
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        val docId = cv * cv + $"turn_idx"
+        val base = regexp_replace(lower(substring($"text", 1, 64)),
+          "[^a-z ]", "")
+        val payload = concat(base,
+          when(pmod(docId, lit(13)) === 2,
+            concat(lit(" contact user"), docId.cast("string"),
+              lit("@mail.example.org")))
+          .when(pmod(docId, lit(13)) === 6, lit(" call (555) 555-0199"))
+          .when(pmod(docId, lit(13)) === 9, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")))
+        transcripts(s, d)
+          .withColumn("p", payload)
+          .withColumn("e", $"p".rlike(EmailRe))
+          .withColumn("f", $"p".rlike(PhoneRe))
+          .withColumn("n", $"p".rlike(SsnRe))
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_turns"),
+            count(when($"e", 1)).as("n_email_turns"),
+            count(when($"f", 1)).as("n_phone_turns"),
+            count(when($"n", 1)).as("n_ssn_turns"),
+            count(when($"e" || $"f" || $"n", 1)).as("n_pii_turns"))
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |pk AS (SELECT conv_id,
+              |         (CAST(substr(conv_id, 6, 4) AS BIGINT) *
+              |          CAST(substr(conv_id, 6, 4) AS BIGINT) + turn_idx) % 13 AS k
+              |       FROM tr)
+              |SELECT conv_id, count(*) AS n_turns,
+              |  count(CASE WHEN k = 2 THEN 1 END) AS n_email_turns,
+              |  count(CASE WHEN k = 6 THEN 1 END) AS n_phone_turns,
+              |  count(CASE WHEN k = 9 THEN 1 END) AS n_ssn_turns,
+              |  count(CASE WHEN k IN (2, 6, 9) THEN 1 END) AS n_pii_turns
+              |FROM pk GROUP BY conv_id ORDER BY conv_id""".stripMargin)),
+
+    // Per-tool latency profile: how long each tool's call took, measured
+    // as the gap from the tool turn to the NEXT turn of the conversation
+    // (any role — the transcript records when control returned). Lead
+    // over the full conv-keyed window, then a bounded |tools|-key
+    // aggregate: call count, total / max wait, conversation coverage —
+    // the agent-behavior profile that decides which tool traces are worth
+    // mining. All-integer arithmetic; same one-conv-exchange topology as
+    // tr_tool_transitions (the per-tool re-key is a 5-key space).
+    "tr_tool_latency" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        transcripts(s, d)
+          .withColumn("next_ts", lead($"ts_s", 1).over(w))
+          .filter($"role" === "tool" && $"next_ts".isNotNull)
+          .withColumn("gap_s", $"next_ts" - $"ts_s")
+          .groupBy($"tool")
+          .agg(count(lit(1)).as("n_calls"),
+            sum($"gap_s").as("total_gap_s"),
+            max($"gap_s").as("max_gap_s"),
+            countDistinct($"conv_id").as("n_convs"))
+          .orderBy($"tool")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |sq AS (SELECT conv_id, role, tool, ts_s,
+              |         lead(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_ts
+              |       FROM tr)
+              |SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+              |  CAST(sum(next_ts - ts_s) AS BIGINT) AS total_gap_s,
+              |  max(next_ts - ts_s) AS max_gap_s,
+              |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+              |FROM sq WHERE role = 'tool' AND next_ts IS NOT NULL
+              |GROUP BY tool ORDER BY tool""".stripMargin))
   )
 }

@@ -327,8 +327,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tr_retry_detect is the same shape minus the aggregate: one lag
     // window on conv_id, then row-local tokenize/Jaccard — the set math
     // must never induce a pairwise join or a second exchange.
+    // tr_tool_latency is the transitions shape with lead(ts) instead of
+    // lead(tool): same one-conv-exchange contract.
     for (q <- Seq("tr_context_windows", "tr_role_alternation", "tr_reply_latency",
-        "tr_tool_transitions", "tr_retry_detect")) {
+        "tr_tool_transitions", "tr_retry_detect", "tr_tool_latency")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(1500))
       val hashEx = "hashpartitioning\\(conv_id".r.findAllIn(p).size
@@ -339,6 +341,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the only shuffles are the hash-keyed distinct-agg pair
     val cp = plan(graft.SparkEntry.queries("tr_canned_replies")(spark, sf))
     assert(!cp.contains("Join") && !cp.contains("Window"), cp.take(1500))
+    // speaker balance / PII screen / prefix dedup are pure conv-keyed
+    // aggregates (the detectors and the fingerprint slots are row-local):
+    // no window ever forms, no join, and conv_id is hashed exactly once —
+    // prefix dedup's second exchange re-keys on the bounded fingerprint
+    // space, not the corpus.
+    for (q <- Seq("tr_speaker_balance", "tr_pii_turns", "tr_prefix_dedup")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q plans a join or window:\n" + p.take(1500))
+      val hashEx = "hashpartitioning\\(conv_id".r.findAllIn(p).size
+      assert(hashEx == 1,
+        s"$q must hash conv_id exactly once, found $hashEx:\n" + p.take(2000))
+    }
   }
 
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
