@@ -19,7 +19,7 @@ object PipelineQueries {
 
   // ---- SQL fragments mirroring TextFunctions (portable hash family) ----
   /** distinct lowercase alnum tokens len>2 (the P4 tokenizer) */
-  private val sqlToks =
+  private[queries] val sqlToks =
     "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 2))"
 
   /** polyHashStr(v, seed) for an arbitrary string variable `v` */
@@ -60,7 +60,7 @@ object PipelineQueries {
     * list variable `toks`, as a SQL list literal (integer math — exact
     * parity with TextFunctions.minHashSig).
     */
-  private def sqlSig(k: Int = 6): String =
+  private[queries] def sqlSig(k: Int = 6): String =
     (0 until k).map { s =>
       s"list_min(list_transform(toks, t -> ${sqlTokHash(minHashSeed(s))}))"
     }.mkString("[", ",\n      ", "]")
@@ -68,7 +68,7 @@ object PipelineQueries {
   /** The banded LSH keys over a signature variable `sig` — mirrors
     * TextFunctions.lshBands(sig, bands, rows) ("b-<hash>" strings).
     */
-  private def sqlBandKeys(bands: Int, rows: Int): String =
+  private[queries] def sqlBandKeys(bands: Int, rows: Int): String =
     (0 until bands).map { b =>
       s"'$b-' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"sig[${b * rows + 1}:${(b + 1) * rows}]), (a, x) -> (a * 31 + x) % $M) AS VARCHAR)"

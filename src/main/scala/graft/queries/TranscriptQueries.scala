@@ -520,6 +520,85 @@ object TranscriptQueries {
               |  max(next_ts - ts_s) AS max_gap_s,
               |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
               |FROM sq WHERE role = 'tool' AND next_ts IS NOT NULL
-              |GROUP BY tool ORDER BY tool""".stripMargin))
+              |GROUP BY tool ORDER BY tool""".stripMargin)),
+
+    // Conversation-level near-dup detection: the dd_ngram_jaccard
+    // banded-MinHash topology lifted from documents to WHOLE conversations
+    // (the same dialogue re-logged under a new conv_id — run twice,
+    // mirrored from a retry queue — is the transcript corpus's dominant
+    // redundancy, and turn-level dedup can't see it). Per-conversation
+    // token SET (explode + collect_set: one conv-keyed partial-aggregating
+    // exchange, set size bounded by conversation text), 6-seed MinHash +
+    // 3x2 banding over the set, each conversation compared ONLY to its
+    // band bucket's min id (min(struct) window carries the payload — no
+    // self-join, O(n) verifies), exact Jaccard >= 0.8 confirms. Two
+    // planted families: cv % 9 == 4 shares 20 of 22 tokens pairwise
+    // (jac 0.909 — detected), cv % 9 == 7 shares 10 of 16 (jac 0.625 —
+    // a banding collision must be REJECTED by the verify, pinning the
+    // two-stage candidate/confirm contract).
+    "tr_conv_near_dup" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.{jaccard, lshBands, minHashSig, tokens}
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        val sharedB = "standard workflow narration shared vocabulary alpha beta gamma delta"
+        val sharedA = sharedB + " epsilon zeta eta theta iota kappa lambda omicron sigma tau"
+        val planted =
+          when(pmod(cv, lit(9)) === 4,
+            concat(lit(sharedA + " step "), pmod($"turn_idx", lit(5)).cast("string"),
+              lit(" convtag"), cv.cast("string")))
+          .when(pmod(cv, lit(9)) === 7,
+            concat(lit(sharedB + " step "), pmod($"turn_idx", lit(5)).cast("string"),
+              lit(" uniqalpha"), cv.cast("string"),
+              lit(" uniqbeta"), cv.cast("string"),
+              lit(" uniqgamma"), cv.cast("string")))
+          .otherwise($"text")
+        val sets = transcripts(s, d)
+          .withColumn("text", planted)
+          .select($"conv_id".as("id"), explode(tokens($"text")).as("t"))
+          .groupBy($"id").agg(array_sort(collect_set($"t")).as("p"))
+        val wb = Window.partitionBy($"band")
+        sets
+          .select($"id", $"p",
+            explode(lshBands(minHashSig($"p", 6), 3, 2)).as("band"))
+          .withColumn("mn", min(struct($"id", $"p")).over(wb))
+          .withColumn("jac", round(jaccard($"p", $"mn.p"), 6))
+          .filter($"id" =!= $"mn.id" && $"jac" >= 0.8)
+          .groupBy($"id")
+          .agg(min(struct($"mn.id".as("dup_of"), $"jac".as("jac"))).as("m"))
+          .select($"id".as("conv_id"), $"m.dup_of".as("dup_of"),
+            $"m.jac".as("jac"))
+          .orderBy($"conv_id")
+      },
+      Some {
+        val cvSql = "CAST(substr(conv_id, 6, 4) AS BIGINT)"
+        val sharedB = "standard workflow narration shared vocabulary alpha beta gamma delta"
+        val sharedA = sharedB + " epsilon zeta eta theta iota kappa lambda omicron sigma tau"
+        s"""WITH $sqlTranscripts,
+           |pt AS (SELECT conv_id, turn_idx,
+           |         CASE WHEN $cvSql % 9 = 4
+           |              THEN '$sharedA step ' || CAST(turn_idx % 5 AS VARCHAR) ||
+           |                   ' convtag' || CAST($cvSql AS VARCHAR)
+           |              WHEN $cvSql % 9 = 7
+           |              THEN '$sharedB step ' || CAST(turn_idx % 5 AS VARCHAR) ||
+           |                   ' uniqalpha' || CAST($cvSql AS VARCHAR) ||
+           |                   ' uniqbeta' || CAST($cvSql AS VARCHAR) ||
+           |                   ' uniqgamma' || CAST($cvSql AS VARCHAR)
+           |              ELSE text END AS text
+           |       FROM tr),
+           |tk AS (SELECT conv_id AS id,
+           |         list_sort(list_distinct(flatten(list(${PipelineQueries.sqlToks})))) AS toks
+           |       FROM pt GROUP BY conv_id),
+           |sigs AS (SELECT id, toks, ${PipelineQueries.sqlSig()} AS sig FROM tk),
+           |bands AS (SELECT id, unnest(${PipelineQueries.sqlBandKeys(3, 2)}) AS band FROM sigs),
+           |wm AS (SELECT id, min(id) OVER (PARTITION BY band) AS min_id FROM bands),
+           |cand AS (SELECT DISTINCT id, min_id FROM wm WHERE id <> min_id),
+           |jc AS (SELECT c.id, c.min_id,
+           |         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |               CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jac
+           |       FROM cand c JOIN tk a ON a.id = c.id JOIN tk b ON b.id = c.min_id)
+           |SELECT id AS conv_id, min(min_id) AS dup_of, arg_min(jac, min_id) AS jac
+           |FROM jc WHERE jac >= 0.8 GROUP BY id ORDER BY conv_id""".stripMargin
+      })
   )
 }

@@ -354,6 +354,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(hashEx == 1,
         s"$q must hash conv_id exactly once, found $hashEx:\n" + p.take(2000))
     }
+    // conversation-level near-dup is the dd_ngram_jaccard topology lifted
+    // to conversations: token-set agg (conv key), band window (bucket-min
+    // candidate — NO within-band self-join), final per-conv confirm agg.
+    // Exactly three hash exchanges, nothing pairwise.
+    val nd = plan(graft.SparkEntry.queries("tr_conv_near_dup")(spark, sf))
+    assert(!nd.contains("Join") && !nd.contains("CartesianProduct"),
+      "tr_conv_near_dup must be join-free:\n" + nd.take(2000))
+    val ndEx = "hashpartitioning\\(".r.findAllIn(nd).size
+    assert(ndEx == 3,
+      s"tr_conv_near_dup: expected 3 hash exchanges (set agg, band window, confirm agg), found $ndEx:\n" + nd.take(2000))
   }
 
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
