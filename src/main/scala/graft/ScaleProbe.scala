@@ -89,6 +89,12 @@ object ScaleProbe {
       "ta_token_budget_pick", "dd_incremental_history",
       "dd_paragraph_exact", "ta_gopher_rules", "ta_c4_filters",
       "ta_split_train_val", "ta_url_normalize",
+      // transcript-axis ops under the doc-id shift: each copy's 5,000
+      // docs land in ~3 conversations of ~2,000 turns (cv = floor(sqrt)),
+      // so the 100x corpus is ~300 GIANT conversations — the adversarial
+      // regime for the conv-set aggregation (big token unions) and the
+      // band-min window; the regex PII screen scales with raw turn count
+      "tr_conv_near_dup", "tr_pii_turns",
       // pairwise exact-substring analytics: at 10x each clique window
       // sits in 10 docs (45 in-cap pairs — the output itself grows
       // f^2 per clique); at 100x the 64-doc cap DROPS clique windows,
