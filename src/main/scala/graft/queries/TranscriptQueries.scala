@@ -599,6 +599,91 @@ object TranscriptQueries {
            |       FROM cand c JOIN tk a ON a.id = c.id JOIN tk b ON b.id = c.min_id)
            |SELECT id AS conv_id, min(min_id) AS dup_of, arg_min(jac, min_id) AS jac
            |FROM jc WHERE jac >= 0.8 GROUP BY id ORDER BY conv_id""".stripMargin
+      }),
+
+    // The capstone composition: the full transcript-to-training-mix
+    // funnel in ONE query — (1) conversation structural QA (starts with
+    // user, zero role-alternation violations; the doc_id % 17 == 3
+    // violation family disqualifies its conversations), (2) PII turns
+    // dropped before history assembly (the real detectors over the
+    // tr_pii_turns payload — redact-or-drop, not train), (3) canned
+    // assistant replies excluded as example targets (verbatim texts in
+    // ≥2 conversations — the transcripts frame's doc_id % 23 == 5
+    // family), (4) SFT context windows over the SURVIVING turns.
+    // Topology: the QA verdicts are unbounded-frame windows on the SAME
+    // conv_id exchange the context window uses (no agg + join-back for
+    // the verdict); the canned set is one hash-keyed aggregate applied
+    // as a left-anti join on the md5 key — the only join, equi on a
+    // bounded-collision hash, never pairwise.
+    "tr_sft_mix" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.{EmailRe, PhoneRe, SsnRe}
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        val docId = cv * cv + $"turn_idx"
+        val base0 = regexp_replace(lower(substring($"text", 1, 64)),
+          "[^a-z ]", "")
+        val payload = concat(base0,
+          when(pmod(docId, lit(13)) === 2,
+            concat(lit(" contact user"), docId.cast("string"),
+              lit("@mail.example.org")))
+          .when(pmod(docId, lit(13)) === 6, lit(" call (555) 555-0199"))
+          .when(pmod(docId, lit(13)) === 9, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")))
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        val wConv = Window.partitionBy($"conv_id")
+        val base = transcripts(s, d)
+          .withColumn("pii",
+            payload.rlike(EmailRe) || payload.rlike(PhoneRe) ||
+              payload.rlike(SsnRe))
+          .withColumn("prev_role", lag($"role", 1).over(w))
+          .withColumn("viol",
+            count(when($"role" === $"prev_role", 1)).over(wConv))
+          .withColumn("swu",
+            max(when($"turn_idx" === 0, $"role" === "user")).over(wConv))
+        val canned = transcripts(s, d).filter($"role" === "assistant")
+          .groupBy(md5($"text").as("ch"))
+          .agg(countDistinct($"conv_id").as("nc"))
+          .filter($"nc" >= 2).select($"ch")
+        base
+          .filter($"swu" && $"viol" === 0 && !$"pii")
+          .withColumn("ctxl", collect_list(
+            concat($"role", lit(": "), substring($"text", 1, 24)))
+            .over(w.rowsBetween(-3, -1)))
+          .filter($"role" === "assistant")
+          .join(canned, md5($"text") === $"ch", "left_anti")
+          .select($"conv_id", $"turn_idx",
+            size($"ctxl").as("n_ctx"),
+            concat_ws(" | ", $"ctxl").as("ctx"))
+          .orderBy($"conv_id", $"turn_idx")
+      },
+      Some {
+        val cvSql = "CAST(substr(conv_id, 6, 4) AS BIGINT)"
+        s"""WITH $sqlTranscripts,
+           |base AS (SELECT conv_id, turn_idx, role, text,
+           |           ($cvSql * $cvSql + turn_idx) % 13 AS k,
+           |           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+           |         FROM tr),
+           |wf AS (SELECT conv_id,
+           |         count(CASE WHEN role = prev_role THEN 1 END) AS viol,
+           |         max(CASE WHEN turn_idx = 0 THEN role = 'user' END) AS swu
+           |       FROM base GROUP BY conv_id),
+           |canned AS (SELECT md5(text) AS ch FROM tr WHERE role = 'assistant'
+           |           GROUP BY md5(text) HAVING count(DISTINCT conv_id) >= 2),
+           |kept AS (SELECT b.conv_id, b.turn_idx, b.role, b.text
+           |         FROM base b JOIN wf ON wf.conv_id = b.conv_id
+           |         WHERE wf.swu AND wf.viol = 0 AND b.k NOT IN (2, 6, 9)),
+           |win AS (SELECT conv_id, turn_idx, role, md5(text) AS h,
+           |          list(role || ': ' || substr(text, 1, 24))
+           |            OVER (PARTITION BY conv_id ORDER BY turn_idx
+           |                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctxl
+           |        FROM kept)
+           |SELECT conv_id, turn_idx,
+           |  CAST(coalesce(len(ctxl), 0) AS INT) AS n_ctx,
+           |  coalesce(array_to_string(ctxl, ' | '), '') AS ctx
+           |FROM win
+           |WHERE role = 'assistant' AND h NOT IN (SELECT ch FROM canned)
+           |ORDER BY conv_id, turn_idx""".stripMargin
       })
   )
 }

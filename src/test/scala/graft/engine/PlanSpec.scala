@@ -364,6 +364,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ndEx = "hashpartitioning\\(".r.findAllIn(nd).size
     assert(ndEx == 3,
       s"tr_conv_near_dup: expected 3 hash exchanges (set agg, band window, confirm agg), found $ndEx:\n" + nd.take(2000))
+    // the curation-funnel capstone: QA verdicts, PII drop and context
+    // assembly all ride ONE conv_id exchange (every Window node reuses
+    // it — no agg + join-back for the verdicts); the canned-reply
+    // exclusion is the only join, an equi anti-join on the md5 key —
+    // never a nested-loop or cartesian.
+    val mx = plan(graft.SparkEntry.queries("tr_sft_mix")(spark, sf))
+    assert(!mx.contains("CartesianProduct") && !mx.contains("BroadcastNestedLoop"),
+      "tr_sft_mix must not plan a product join:\n" + mx.take(2000))
+    val mxConv = "hashpartitioning\\(conv_id".r.findAllIn(mx).size
+    assert(mxConv == 1,
+      s"tr_sft_mix must hash conv_id exactly once, found $mxConv:\n" + mx.take(2000))
   }
 
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
