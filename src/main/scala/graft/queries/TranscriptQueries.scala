@@ -601,6 +601,207 @@ object TranscriptQueries {
            |FROM jc WHERE jac >= 0.8 GROUP BY id ORDER BY conv_id""".stripMargin
       }),
 
+    // Refusal-rate QA: the share of each conversation's assistant turns
+    // that are refusals (template decline phrases). A conversation whose
+    // assistant mostly refuses teaches the model to refuse — the mix
+    // must cap its weight. BOTH engines run the same phrase regex over
+    // the same text (no planted-rule oracle needed; the transcripts
+    // frame's doc_id % 23 == 5 canned-decline family keeps the detector
+    // non-degenerate). Row-local rlike + one conv-keyed map-side-
+    // combined aggregate; zero windows, zero joins.
+    "tr_refusal_rate" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val refusal = lower($"text")
+          .rlike("unable to help|cannot comply|i cannot assist")
+        transcripts(s, d)
+          .filter($"role" === "assistant")
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_assistant"),
+            count(when(refusal, 1)).as("n_refusals"))
+          .withColumn("refusal_share",
+            round($"n_refusals".cast("double") / $"n_assistant", 6))
+          .withColumn("flagged", $"refusal_share" > 0.5)
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |ag AS (SELECT conv_id, count(*) AS n_assistant,
+              |         count(CASE WHEN regexp_matches(lower(text),
+              |           'unable to help|cannot comply|i cannot assist')
+              |           THEN 1 END) AS n_refusals
+              |       FROM tr WHERE role = 'assistant' GROUP BY conv_id)
+              |SELECT conv_id, n_assistant, n_refusals,
+              |  round(CAST(n_refusals AS DOUBLE) / n_assistant, 6) AS refusal_share,
+              |  round(CAST(n_refusals AS DOUBLE) / n_assistant, 6) > 0.5 AS flagged
+              |FROM ag ORDER BY conv_id""".stripMargin)),
+
+    // Fenced code-block extraction: agent transcripts carry code in
+    // markdown fences, and a code-capable training mix needs it located,
+    // measured and language-tagged per turn (the turn-level analog of
+    // the doc-side layout parse). Both engines run the SAME fence regex
+    // over the same text, so the oracle is exact without a planted-rule
+    // shortcut; two planted families (cv % 8 == 1 assistant turns carry
+    // an sql + py pair, cv % 8 == 6 a single py block) make the output
+    // non-degenerate. Entirely row-local (regexp_extract_all + array
+    // math — codegen'd, no UDF), then just the presentation sort: at
+    // 100 TB this is a pure scan-shaped map with zero exchanges.
+    "tr_code_blocks" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        val planted =
+          when($"role" === "assistant" && pmod(cv, lit(8)) === 1,
+            concat(lit("see snippet ```sql\nselect "),
+              $"turn_idx".cast("string"),
+              lit(" from logs\n``` and helper ```py\nprint("),
+              $"turn_idx".cast("string"), lit(")\n``` done")))
+          .when($"role" === "assistant" && pmod(cv, lit(8)) === 6,
+            concat(lit("run ```py\nretry(job, n="),
+              $"turn_idx".cast("string"), lit(")\n``` next")))
+          .otherwise($"text")
+        transcripts(s, d)
+          .withColumn("text", planted)
+          .withColumn("bodies",
+            regexp_extract_all($"text", lit("```[a-z]*\\n([^`]+)```"), lit(1)))
+          .filter(size($"bodies") > 0)
+          .select($"conv_id", $"turn_idx",
+            size($"bodies").as("n_blocks"),
+            aggregate(transform($"bodies", b => length(b)), lit(0),
+              (acc, x) => acc + x).as("code_chars"),
+            array_join(array_sort(array_distinct(
+              regexp_extract_all($"text", lit("```([a-z]+)\\n"), lit(1)))), ",")
+              .as("langs"))
+          .orderBy($"conv_id", $"turn_idx")
+      },
+      Some {
+        val cvSql = "CAST(substr(conv_id, 6, 4) AS BIGINT)"
+        s"""WITH $sqlTranscripts,
+           |pt AS (SELECT conv_id, turn_idx,
+           |         CASE WHEN role = 'assistant' AND $cvSql % 8 = 1
+           |              THEN 'see snippet ${"```"}sql' || chr(10) || 'select ' ||
+           |                   CAST(turn_idx AS VARCHAR) || ' from logs' || chr(10) ||
+           |                   '${"```"} and helper ${"```"}py' || chr(10) || 'print(' ||
+           |                   CAST(turn_idx AS VARCHAR) || ')' || chr(10) || '${"```"} done'
+           |              WHEN role = 'assistant' AND $cvSql % 8 = 6
+           |              THEN 'run ${"```"}py' || chr(10) || 'retry(job, n=' ||
+           |                   CAST(turn_idx AS VARCHAR) || ')' || chr(10) || '${"```"} next'
+           |              ELSE text END AS text
+           |       FROM tr),
+           |ex AS (SELECT conv_id, turn_idx,
+           |         regexp_extract_all(text, '${"```"}[a-z]*\\n([^${"`"}]+)${"```"}', 1) AS bodies,
+           |         regexp_extract_all(text, '${"```"}([a-z]+)\\n', 1) AS langtags
+           |       FROM pt)
+           |SELECT conv_id, turn_idx,
+           |  CAST(len(bodies) AS INT) AS n_blocks,
+           |  CAST(list_sum(list_transform(bodies, b -> length(b))) AS INT) AS code_chars,
+           |  array_to_string(list_sort(list_distinct(langtags)), ',') AS langs
+           |FROM ex WHERE len(bodies) > 0
+           |ORDER BY conv_id, turn_idx""".stripMargin
+      }),
+
+    // Context-budget truncation: the longest SUFFIX of each conversation
+    // whose total text fits a fixed character budget — the fit-into-
+    // context-window step every SFT assembler runs (recent turns matter
+    // most, so the tail is what survives). Reverse cumulative sum over
+    // ONE conv-keyed window (ordered by turn_idx DESC), then the conv
+    // aggregate REUSES the same exchange: kept-turn count, kept chars,
+    // the first surviving turn_idx, and the truncated verdict. All-
+    // integer arithmetic; on the bucketed layout the single exchange
+    // disappears like every other tr_* window op.
+    "tr_truncate_budget" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val budget = 1500L
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        transcripts(s, d)
+          .withColumn("len", length($"text").cast("long"))
+          .withColumn("cum", sum($"len").over(w))
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_turns"),
+            sum($"len").as("chars_total"),
+            count(when($"cum" <= budget, 1)).as("n_kept"),
+            sum(when($"cum" <= budget, $"len").otherwise(0L)).as("chars_kept"),
+            min(when($"cum" <= budget, $"turn_idx")).as("first_kept_idx"))
+          .withColumn("truncated", $"n_kept" < $"n_turns")
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |cm AS (SELECT conv_id, turn_idx, length(text) AS len,
+              |         sum(length(text)) OVER (PARTITION BY conv_id
+              |           ORDER BY turn_idx DESC
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |       FROM tr),
+              |ag AS (SELECT conv_id, count(*) AS n_turns,
+              |         CAST(sum(len) AS BIGINT) AS chars_total,
+              |         count(CASE WHEN cum <= 1500 THEN 1 END) AS n_kept,
+              |         CAST(sum(CASE WHEN cum <= 1500 THEN len ELSE 0 END) AS BIGINT) AS chars_kept,
+              |         min(CASE WHEN cum <= 1500 THEN turn_idx END) AS first_kept_idx
+              |       FROM cm GROUP BY conv_id)
+              |SELECT conv_id, n_turns, chars_total, n_kept, chars_kept,
+              |  first_kept_idx, n_kept < n_turns AS truncated
+              |FROM ag ORDER BY conv_id""".stripMargin)),
+
+    // Preference-pair mining: when the SAME user prompt appears in
+    // several conversations with different assistant replies, those
+    // replies form candidate preference pairs (the raw material of a
+    // DPO/RM set; here chosen/rejected is the deterministic lexical
+    // min/max — a real ranker plugs into the same topology). One conv-
+    // keyed lag window attaches each reply to its prompt, one prompt-
+    // hash aggregate groups replies across the corpus; no pairwise
+    // join anywhere. The cv % 7 == 3 family plants a shared prompt
+    // (natural corpus prompts never repeat cross-conversation).
+    "tr_pref_pairs" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val cv = substring($"conv_id", 6, 4).cast("long")
+        val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+        transcripts(s, d)
+          .withColumn("text",
+            when($"role" === "user" && pmod(cv, lit(7)) === 3,
+              lit("how do i rotate my api key please"))
+            .otherwise($"text"))
+          .withColumn("prev_role", lag($"role", 1).over(w))
+          .withColumn("prev_text", lag($"text", 1).over(w))
+          .filter($"role" === "assistant" && $"prev_role" === "user")
+          .select(md5($"prev_text").as("prompt_h"),
+            substring($"prev_text", 1, 32).as("prompt0"),
+            substring($"text", 1, 40).as("reply"), $"conv_id")
+          .groupBy($"prompt_h")
+          .agg(min($"prompt0").as("prompt"),
+            count(lit(1)).as("n_replies"),
+            countDistinct($"conv_id").as("n_convs"),
+            min($"reply").as("chosen"),
+            max($"reply").as("rejected"))
+          .filter($"n_convs" >= 2 && $"chosen" =!= $"rejected")
+          .orderBy($"prompt_h")
+      },
+      Some {
+        val cvSql = "CAST(substr(conv_id, 6, 4) AS BIGINT)"
+        s"""WITH $sqlTranscripts,
+           |pt AS (SELECT conv_id, turn_idx, role,
+           |         CASE WHEN role = 'user' AND $cvSql % 7 = 3
+           |              THEN 'how do i rotate my api key please'
+           |              ELSE text END AS text
+           |       FROM tr),
+           |lg AS (SELECT conv_id, role, text,
+           |         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+           |         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+           |       FROM pt),
+           |rp AS (SELECT md5(prev_text) AS prompt_h,
+           |         substr(prev_text, 1, 32) AS prompt0,
+           |         substr(text, 1, 40) AS reply, conv_id
+           |       FROM lg WHERE role = 'assistant' AND prev_role = 'user'),
+           |ag AS (SELECT prompt_h, min(prompt0) AS prompt,
+           |         CAST(count(*) AS BIGINT) AS n_replies,
+           |         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           |         min(reply) AS chosen, max(reply) AS rejected
+           |       FROM rp GROUP BY prompt_h)
+           |SELECT prompt_h, prompt, n_replies, n_convs, chosen, rejected
+           |FROM ag WHERE n_convs >= 2 AND chosen <> rejected
+           |ORDER BY prompt_h""".stripMargin
+      }),
+
     // The capstone composition: the full transcript-to-training-mix
     // funnel in ONE query — (1) conversation structural QA (starts with
     // user, zero role-alternation violations; the doc_id % 17 == 3

@@ -329,8 +329,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must never induce a pairwise join or a second exchange.
     // tr_tool_latency is the transitions shape with lead(ts) instead of
     // lead(tool): same one-conv-exchange contract.
+    // tr_truncate_budget's reverse-cumsum window orders by turn_idx DESC;
+    // the conv aggregate must still reuse the same conv_id exchange.
     for (q <- Seq("tr_context_windows", "tr_role_alternation", "tr_reply_latency",
-        "tr_tool_transitions", "tr_retry_detect", "tr_tool_latency")) {
+        "tr_tool_transitions", "tr_retry_detect", "tr_tool_latency",
+        "tr_truncate_budget")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(1500))
       val hashEx = "hashpartitioning\\(conv_id".r.findAllIn(p).size
@@ -346,7 +349,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no window ever forms, no join, and conv_id is hashed exactly once —
     // prefix dedup's second exchange re-keys on the bounded fingerprint
     // space, not the corpus.
-    for (q <- Seq("tr_speaker_balance", "tr_pii_turns", "tr_prefix_dedup")) {
+    for (q <- Seq("tr_speaker_balance", "tr_pii_turns", "tr_prefix_dedup",
+        "tr_refusal_rate")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Join") && !p.contains("Window"),
         s"$q plans a join or window:\n" + p.take(1500))
@@ -354,6 +358,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(hashEx == 1,
         s"$q must hash conv_id exactly once, found $hashEx:\n" + p.take(2000))
     }
+    // fenced code-block extraction is entirely row-local (regex + array
+    // math in the projection): no join, no window, and ZERO hash
+    // exchanges — the only partitioning is the presentation sort's range.
+    val cb = plan(graft.SparkEntry.queries("tr_code_blocks")(spark, sf))
+    assert(!cb.contains("Join") && !cb.contains("Window"), cb.take(1500))
+    assert("hashpartitioning\\(".r.findAllIn(cb).isEmpty,
+      "tr_code_blocks must be scan-shaped (zero hash exchanges):\n" + cb.take(2000))
+    // preference-pair mining: one conv-keyed lag window, then the
+    // prompt-hash aggregate re-keys on md5(prompt) — never a join, and
+    // conv_id is hashed exactly once.
+    val pp = plan(graft.SparkEntry.queries("tr_pref_pairs")(spark, sf))
+    assert(!pp.contains("Join"), "tr_pref_pairs plans a join:\n" + pp.take(1500))
+    val ppConv = "hashpartitioning\\(conv_id".r.findAllIn(pp).size
+    assert(ppConv == 1,
+      s"tr_pref_pairs must hash conv_id exactly once, found $ppConv:\n" + pp.take(2000))
     // conversation-level near-dup is the dd_ngram_jaccard topology lifted
     // to conversations: token-set agg (conv key), band window (bucket-min
     // candidate — NO within-band self-join), final per-conv confirm agg.
