@@ -1189,6 +1189,79 @@ object PipelineQueries {
              |                        THEN 1 END) AS DOUBLE) / count(*), 4) AS rate
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Target-mix rebalancing: downsample over-represented domains to a
+    // uniform per-domain character budget (the SlimPajama/DoReMi mix step
+    // that runs AFTER quality filtering and BEFORE packing: web gets cut
+    // to its target share, scarce domains — code, books — survive whole).
+    // Domain strata are derived from source with the real corpus shape
+    // (17 web sources vs 2 code vs 1 books, so the rates genuinely
+    // differ: scarce domains accept everything, web is hash-thresholded).
+    // ALL-INTEGER math end to end: budget = 40% of corpus chars (integer
+    // div), per-domain target = budget div n_domains, acceptance
+    // threshold = target*M div avail capped at M, acceptance = portable
+    // polyHash(text) < threshold — deterministic, seedless, identical
+    // picks on any cluster or engine. Topology: one bounded per-domain
+    // agg, the 3-row rate table broadcast back onto the scan, one final
+    // bounded agg — the corpus is never joined wide, never windowed.
+    "ta_mix_rebalance" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val dom = when($"source".isin("src0", "src1"), "code")
+          .when($"source" === "src2", "books").otherwise("web")
+        val docs = rd(s, d, "documents")
+          .select(dom.as("dom"), $"n_chars".cast("long").as("nc"),
+            polyHash($"text", 64).as("h"))
+        val byDom = docs.groupBy($"dom")
+          .agg(count(lit(1)).as("avail_docs"), sum($"nc").as("avail_chars"))
+        val tot = byDom.agg(sum($"avail_chars").as("total_chars"),
+          count(lit(1)).as("n_domains"))
+        val rated = byDom.crossJoin(broadcast(tot))
+          .withColumn("target_chars",
+            expr("total_chars * 2 div 5 div n_domains"))
+          .withColumn("accept_th", least(lit(M),
+            expr(s"target_chars * CAST($M AS BIGINT) div avail_chars")))
+          .select($"dom", $"avail_docs", $"avail_chars", $"target_chars",
+            $"accept_th")
+        docs.join(broadcast(rated), "dom")
+          .withColumn("picked", $"h" < $"accept_th")
+          .groupBy($"dom")
+          .agg(max($"avail_docs").as("avail_docs"),
+            max($"avail_chars").as("avail_chars"),
+            max($"target_chars").as("target_chars"),
+            max($"accept_th").as("accept_th"),
+            count(when($"picked", 1)).as("picked_docs"),
+            sum(when($"picked", $"nc").otherwise(0L)).as("picked_chars"))
+          .orderBy($"dom")
+      },
+      Some(s"""WITH dh AS (SELECT CASE WHEN source IN ('src0','src1') THEN 'code'
+              |                        WHEN source = 'src2' THEN 'books'
+              |                        ELSE 'web' END AS dom,
+              |              CAST(n_chars AS BIGINT) AS nc,
+              |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |                list_transform(generate_series(1, least(length(text), 64)),
+              |                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+              |                (a, x) -> (a * 31 + x) % $M) AS h
+              |            FROM documents),
+              |bs AS (SELECT dom, count(*) AS avail_docs,
+              |         CAST(sum(nc) AS BIGINT) AS avail_chars
+              |       FROM dh GROUP BY dom),
+              |tt AS (SELECT CAST(sum(avail_chars) AS BIGINT) AS total_chars,
+              |         count(*) AS n_domains FROM bs),
+              |rt AS (SELECT dom, avail_docs, avail_chars,
+              |         total_chars * 2 // 5 // n_domains AS target_chars,
+              |         least($M, (total_chars * 2 // 5 // n_domains) * $M
+              |               // avail_chars) AS accept_th
+              |       FROM bs, tt)
+              |SELECT dh.dom, max(avail_docs) AS avail_docs,
+              |  max(avail_chars) AS avail_chars,
+              |  max(target_chars) AS target_chars,
+              |  max(accept_th) AS accept_th,
+              |  count(CASE WHEN h < accept_th THEN 1 END) AS picked_docs,
+              |  CAST(sum(CASE WHEN h < accept_th THEN nc ELSE 0 END) AS BIGINT)
+              |    AS picked_chars
+              |FROM dh JOIN rt ON dh.dom = rt.dom
+              |GROUP BY dh.dom ORDER BY dh.dom""".stripMargin)),
+
     // deterministic train/val/test split by CONTENT hash — the standard
     // leak-proof corpus partitioning (same document always lands in the
     // same split, on any cluster, with no RNG/seed coordination; contrast

@@ -133,6 +133,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mix rebalancing broadcasts the rate table; corpus never wide-joined or windowed") {
+    // ta_mix_rebalance: the per-domain rate table (3 rows) must come back
+    // onto the document scan as a broadcast hash join, the one-row totals
+    // frame rides a broadcast nested loop (both bounded), and the only
+    // hash exchanges are on the bounded domain key — a sort-merge join or
+    // a window here would mean the corpus is being globally ordered.
+    val p = plan(graft.SparkEntry.queries("ta_mix_rebalance")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "rate table lost the broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("Window"),
+      "corpus wide-joined or windowed:\n" + p.take(2000))
+    val nonDom = "hashpartitioning\\((?!dom)".r.findAllIn(p).toList
+    assert(nonDom.isEmpty,
+      s"non-domain hash exchange(s) $nonDom:\n" + p.take(2500))
+  }
+
   test("ngram mask shuffles the gram stream exactly once, already pair-counted") {
     // wordGramCounts makes the (g, doc_id) occurrence counting row-local,
     // so the only gram-keyed exchange left is the hot-set aggregation —
