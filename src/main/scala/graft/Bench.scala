@@ -832,7 +832,12 @@ object Bench {
     // Documents the skew-handling path's overhead (shuffle + secondary
     // sort) vs the bucketed path. Best-of-K: a throughput claim, so the
     // min is the honest figure against one-sided noise.
-    val saltedCostEst = 40.0
+    // Cost floor scales with the measured full arm, NOT a constant: the
+    // clean-host salted local[32] cost is ~0.55x the 8-core full arm,
+    // but under the 2026-08-19 degradation it ran 1.3-1.9x (125-192 s vs
+    // a 40 s constant floor — the 2026-08-19 gate-first rehearsal
+    // overran its budget by 110 s exactly here).
+    def saltedCostEst: Double = fullArmEst * 1.4
     var saltedAttempts = 0
     var saltedFailed = 0
     while (saltedAttempts < 2 &&
@@ -935,7 +940,7 @@ object Bench {
     var saltedNFailed = 0
     while (saltedNAttempts < 2 &&
         (saltedNAttempts < 1 || remainingS > fullArmEst * 2.6 + 60) &&
-        remainingS > fullArmEst * 1.3 + 30) {
+        remainingS > fullArmEst * 2.0 + 30) {
       val t = pinnedTrial(tableDir, s"$benchBase/outSaltedN", execCores,
         "salted", heapGb = execHeap)
       saltedNAttempts += 1
