@@ -95,6 +95,13 @@ object ScaleProbe {
       // regime for the conv-set aggregation (big token unions) and the
       // band-min window; the regex PII screen scales with raw turn count
       "tr_conv_near_dup", "tr_pii_turns",
+      // the r5 late additions with non-row-local topologies: prefix
+      // dedup (per-conv running hash + cross-conv group), preference
+      // pairing (per-conv window join), the composed SFT funnel, and
+      // the budget-derived per-domain rebalance (agg -> broadcast
+      // thresholds); row-local ops (refusal rate, code blocks,
+      // truncation) are deliberately not probed — nothing to measure
+      "tr_prefix_dedup", "tr_pref_pairs", "tr_sft_mix", "ta_mix_rebalance",
       // pairwise exact-substring analytics: at 10x each clique window
       // sits in 10 docs (45 in-cap pairs — the output itself grows
       // f^2 per clique); at 100x the 64-doc cap DROPS clique windows,
