@@ -1376,6 +1376,53 @@ object PipelineQueries {
              |  CAST(FLOOR("offset" / 2048) AS BIGINT) AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
 
+    // sliding-window chunking with overlap — the standard embedding/RAG
+    // prep step (fixed W-token chunks at stride S < W so no boundary
+    // sentence is lost; ta_pack_sequences is the opposite op: packing
+    // whole docs into budget bins). Scale shape: ROW-LOCAL throughout —
+    // tokenize, compute the chunk count arithmetically, explode a
+    // bounded index sequence, slice; output grows ~n_tok/S per doc
+    // (linear in corpus tokens), no join, no agg, the only exchange is
+    // the presentation sort. Chunk count: 1 chunk when n_tok <= W, else
+    // 1 + ceil((n_tok - W)/S) — the last chunk may be short but always
+    // contains at least one token past the previous chunk's cover, and
+    // ceil on the exact small-integer ratio is cross-engine identical.
+    "ta_chunk_overlap" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val W = 64
+        val S = 48
+        val tk = filter(split($"text", "\\s+"), w => length(w) > 0)
+        rd(s, d, "documents")
+          .select($"doc_id", tk.as("tk"))
+          .filter(size($"tk") > 0)
+          .withColumn("n_tok", size($"tk").cast("long"))
+          .withColumn("extra",
+            when($"n_tok" <= W, lit(0L))
+              .otherwise(ceil(($"n_tok" - W) / lit(S.toDouble)).cast("long")))
+          .select($"doc_id", $"n_tok", $"tk",
+            explode(sequence(lit(0L), $"extra")).as("chunk_idx"))
+          .select($"doc_id", $"chunk_idx", $"n_tok",
+            least(lit(W.toLong), $"n_tok" - $"chunk_idx" * S).as("chunk_tokens"),
+            array_join(
+              slice($"tk", ($"chunk_idx" * S + 1).cast("int"), lit(W)),
+              " ").as("chunk_text"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS tk
+             |  FROM documents),
+             |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+             |  FROM t WHERE len(tk) > 0),
+             |c AS (SELECT doc_id, n_tok, tk,
+             |  unnest(generate_series(0, CASE WHEN n_tok <= 64 THEN 0
+             |    ELSE CAST(CEIL((n_tok - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+             |  FROM n)
+             |SELECT doc_id, chunk_idx, n_tok,
+             |  LEAST(64, n_tok - chunk_idx * 48) AS chunk_tokens,
+             |  array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // corpus-trained character-bigram typicality score — the train-then-
     // score shape of LM-based quality filtering: pass 1 aggregates the
     // corpus's bigram occurrence counts (one shuffle over a ~1k-key
