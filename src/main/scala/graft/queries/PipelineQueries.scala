@@ -23,7 +23,7 @@ object PipelineQueries {
     "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 2))"
 
   /** polyHashStr(v, seed) for an arbitrary string variable `v` */
-  private def sqlStrHash(v: String, seed: Long): String =
+  private[queries] def sqlStrHash(v: String, seed: Long): String =
     s"list_reduce(list_prepend(CAST(${seed % M} AS BIGINT), " +
       s"list_transform(generate_series(1, length($v)), i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), " +
       s"(a, x) -> (a * 131 + x) % $M)"

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Bounded-memory SKETCH operators — the approximate structures a 100 TB
+  * corpus profile runs where the exact answer would shuffle the corpus:
+  * HyperLogLog distinct-token estimation and Count-Min frequency
+  * estimation. Both are built from portable deterministic hashing
+  * (md5 / the polynomial hash family mirrored in DuckDB SQL), all-integer
+  * register arithmetic, and IEEE float ops in one pinned order — so the
+  * approximate structure itself is oracle-exact: the DuckDB mirror
+  * recomputes the identical sketch, and the hash match proves the
+  * bounded topology computes exactly the estimate it claims.
+  *
+  * Scale design (the whole point of a sketch):
+  *  - HLL: the token stream collapses into a (source × 256-register)
+  *    max-aggregate — map-side combined, bounded keyspace at any corpus
+  *    size; the exact-distinct arm included here is the small-scale
+  *    AUDIT column (at 100 TB you keep the sketch and drop the audit,
+  *    which is the only part that shuffles token-keyed data).
+  *  - CMS: the stream collapses into a 4×64-cell count-aggregate
+  *    (map-side combined); point-frequency queries probe the broadcast
+  *    sketch. The exact-df arm is again the audit.
+  */
+object SketchQueries {
+  import Q._
+  import PipelineQueries.{sqlToks, sqlStrHash}
+
+  /** 2^50 as BIGINT — the HLL register-term scale. Terms are
+    * 2^(50 - min(rho, 50)): exact integers, max total 256·2^50 = 2^58,
+    * no overflow, summation-order-free.
+    */
+  private val Scale: Long = 1L << 50
+
+  // CMS row seeds (any fixed distinct longs; mirrored literally in SQL)
+  private val CmsSeeds = Seq(0x9e3779b9L, 0x85ebca6bL, 0xc2b2ae35L, 0x27d4eb2fL)
+  private val CmsW = 64
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // HyperLogLog distinct-token estimate per source (p=8, m=256
+    // registers), Flajolet et al. 2007, vs the exact distinct count.
+    // Register index = first 2 hex chars of md5(token); rho = leading
+    // zero BITS of the next 60 bits + 1, computed from the hex string
+    // (leading '0' chars ×4 + a nibble ladder) so both engines read the
+    // same bits without int128 support. Register terms are exact
+    // integers 2^(50-min(rho,50)) summed as BIGINT (order-free); the
+    // estimate is alpha·m²·2^50/S with every float op in one pinned
+    // order. Small-range (linear-counting) correction included per the
+    // published algorithm: when raw ≤ 2.5m and empty registers exist,
+    // est = m·ln(m/V).
+    "sk_hll_distinct" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val tk = rd(s, d, "documents")
+          .select($"source", explode(tokens($"text")).as("token"))
+        val h = md5($"token")
+        val hx = substring(h, 3, 15)
+        val zeros = length(regexp_extract(hx, "^0*", 0))
+        val cch = hx.substr(zeros + lit(1), lit(1))
+        val nz = when(cch === "1", 3)
+          .when(cch.isin("2", "3"), 2)
+          .when(cch.isin("4", "5", "6", "7"), 1)
+          .otherwise(0)
+        val regs = tk
+          .select($"source", substring(h, 1, 2).as("reg"),
+            (zeros * 4 + nz + 1).as("rho"))
+          .groupBy($"source", $"reg")
+          .agg(max($"rho").as("mj"))
+        val sk = regs
+          .select($"source", $"reg",
+            expr("shiftleft(CAST(1 AS BIGINT), 50 - least(mj, 50))").as("term"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_used"), sum($"term").as("s_used"))
+          .withColumn("s_int", $"s_used" + (lit(256L) - $"n_used") * lit(Scale))
+        val exact = tk.groupBy($"source")
+          .agg(countDistinct($"token").as("n_exact"))
+        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+        val rawEst = alpha * lit(65536.0) *
+          (lit(Scale.toDouble) / $"s_int".cast("double"))
+        val v = lit(256L) - $"n_used"
+        val lcEst = when(v > 0, lit(256.0) * log(lit(256.0) / v.cast("double")))
+        sk.join(exact, "source")
+          .withColumn("est_raw", round(rawEst, 4))
+          .withColumn("est_lc", round(lcEst, 4))
+          .withColumn("est",
+            when($"est_raw" <= 640.0 && v > 0, $"est_lc").otherwise($"est_raw"))
+          .withColumn("rel_err",
+            round(abs($"est" - $"n_exact") / $"n_exact".cast("double"), 3))
+          .select($"source", $"n_exact", $"n_used", $"s_int",
+            $"est_raw", $"est_lc", $"est", $"rel_err")
+          .orderBy($"source")
+      },
+      Some(s"""WITH tk AS (SELECT source, unnest($sqlToks) AS token FROM documents),
+              |hh AS (SELECT source, md5(token) AS h FROM tk),
+              |rr AS (SELECT source, substr(h, 1, 2) AS reg,
+              |    length(regexp_extract(substr(h, 3, 15), '^0*')) AS z,
+              |    substr(substr(h, 3, 15),
+              |      length(regexp_extract(substr(h, 3, 15), '^0*')) + 1, 1) AS c
+              |  FROM hh),
+              |rho AS (SELECT source, reg,
+              |    z * 4 + CASE WHEN c = '1' THEN 3
+              |      WHEN c IN ('2','3') THEN 2
+              |      WHEN c IN ('4','5','6','7') THEN 1 ELSE 0 END + 1 AS rho
+              |  FROM rr),
+              |mj AS (SELECT source, reg, max(rho) AS mj FROM rho GROUP BY source, reg),
+              |sk AS (SELECT source, count(*) AS n_used,
+              |    CAST(sum(CAST(1 AS BIGINT) << (50 - least(mj, 50))) AS BIGINT) AS s_used
+              |  FROM mj GROUP BY source),
+              |si AS (SELECT source, n_used,
+              |    s_used + (256 - n_used) * CAST($Scale AS BIGINT) AS s_int FROM sk),
+              |ex AS (SELECT source, count(DISTINCT token) AS n_exact FROM tk GROUP BY source),
+              |j AS (SELECT si.source, n_exact, n_used, s_int,
+              |    round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+              |      (${Scale.toDouble} / CAST(s_int AS DOUBLE)), 4) AS est_raw,
+              |    CASE WHEN 256 - n_used > 0 THEN
+              |      round(256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE)), 4)
+              |    END AS est_lc,
+              |    256 - n_used AS v
+              |  FROM si JOIN ex USING (source))
+              |SELECT source, n_exact, n_used, s_int, est_raw, est_lc,
+              |  CASE WHEN est_raw <= 640.0 AND v > 0 THEN est_lc ELSE est_raw END AS est,
+              |  round(abs(CASE WHEN est_raw <= 640.0 AND v > 0 THEN est_lc ELSE est_raw END
+              |            - n_exact) / CAST(n_exact AS DOUBLE), 3) AS rel_err
+              |FROM j ORDER BY source""".stripMargin)),
+
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) over document
+    // frequencies: d=4 rows × w=64 columns, row hashes from the portable
+    // polynomial family. The probe set is the exact top-10 tokens by df
+    // (deterministic tiebreak); for each, est = min over rows of its
+    // cell — the output surfaces the CMS one-sided guarantee
+    // (never an underestimate) as a checked column.
+    "sk_cms_heavy_hitters" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val tk = rd(s, d, "documents")
+          .select(explode(tokens($"text")).as("token"))
+        def cellOf(i: Int) = struct(
+          lit(i).as("r"),
+          pmod(polyHashStr($"token", CmsSeeds(i)), lit(CmsW.toLong)).as("cl"))
+        val cells = tk
+          .select(explode(array((0 until 4).map(cellOf): _*)).as("rc"))
+          .select($"rc.r".as("r"), $"rc.cl".as("cl"))
+          .groupBy($"r", $"cl")
+          .agg(count(lit(1)).as("c"))
+        val df = tk.groupBy($"token").agg(count(lit(1)).as("df_exact"))
+        val probe = df.orderBy($"df_exact".desc, $"token").limit(10)
+        val pc = probe
+          .select($"token", $"df_exact",
+            explode(array((0 until 4).map(cellOf): _*)).as("rc"))
+          .select($"token", $"df_exact", $"rc.r".as("r"), $"rc.cl".as("cl"))
+        pc.join(broadcast(cells), Seq("r", "cl"))
+          .groupBy($"token")
+          .agg(max($"df_exact").as("df_exact"), min($"c").as("cms_est"))
+          .withColumn("no_underestimate", $"cms_est" >= $"df_exact")
+          .select($"token", $"df_exact", $"cms_est", $"no_underestimate")
+          .orderBy($"df_exact".desc, $"token")
+      },
+      Some {
+        def h(seed: Long) = s"(${sqlStrHash("token", seed)}) % $CmsW"
+        val rows = (0 until 4).map(i =>
+          s"SELECT token, $i AS r, ${h(CmsSeeds(i))} AS cl FROM tk")
+          .mkString("\n|  UNION ALL ")
+        s"""WITH tk AS (SELECT unnest($sqlToks) AS token FROM documents),
+           |hc AS ($rows),
+           |cells AS (SELECT r, cl, count(*) AS c FROM hc GROUP BY r, cl),
+           |df AS (SELECT token, count(*) AS df_exact FROM tk GROUP BY token),
+           |probe AS (SELECT token, df_exact FROM df
+           |  ORDER BY df_exact DESC, token LIMIT 10),
+           |pc AS (SELECT p.token, p.df_exact, hc.r, hc.cl
+           |  FROM probe p JOIN (SELECT DISTINCT token, r, cl FROM hc) hc USING (token)),
+           |est AS (SELECT token, max(df_exact) AS df_exact, min(c) AS cms_est
+           |  FROM pc JOIN cells USING (r, cl) GROUP BY token)
+           |SELECT token, df_exact, cms_est, cms_est >= df_exact AS no_underestimate
+           |FROM est ORDER BY df_exact DESC, token""".stripMargin
+      })
+  )
+}
