@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP surface beyond the single ROLLUP entry (q_rollup_revenue) plus
+  * corpus-operations queries: CUBE, explicit-values PIVOT, a
+  * time-RANGE-framed rolling window, a snapshot diff (corpus release
+  * comparison), and a z-score outlier screen. Oracle conventions as in
+  * CoreQueries: double money through DECIMAL casts rendered as VARCHAR,
+  * timestamps through strftime/date_format, unique sort tiebreaks.
+  */
+object OlapQueries {
+  import Q._
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // CUBE over (event_type, hour-of-day): all four grouping levels in
+    // ONE pass (Expand -> single hash agg — the same one-scan shape
+    // PlanSpec pins for ROLLUP). Rolled-up dimensions surface as
+    // 'ALL'/-1 instead of NULL so the sort is total.
+    "q_cube_events" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "events")
+          .select($"event_type", hour($"ts").cast("long").as("hr"),
+            $"value".cast("decimal(18,2)").as("v"))
+          .cube($"event_type", $"hr")
+          .agg(count(lit(1)).as("n"),
+            sum($"v").cast("decimal(28,2)").cast("string").as("sum_value"))
+          .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+            coalesce($"hr", lit(-1L)).as("hr"), $"n", $"sum_value")
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(hr, -1) AS hr, count(*) AS n,
+             |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS VARCHAR) AS sum_value
+             |FROM (SELECT event_type, hour(ts) AS hr,
+             |        CAST(value AS DECIMAL(18,2)) AS v FROM events)
+             |GROUP BY CUBE (event_type, hr)
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // PIVOT with an EXPLICIT value list (order status -> columns): the
+    // explicit list matters at scale — Spark's value-less pivot runs a
+    // driver-side distinct collect over the pivot column first; naming
+    // the values keeps the plan a single Expand-free aggregate.
+    "q_pivot_status" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "orders")
+          .select(year($"o_orderdate").cast("long").as("yr"),
+            $"o_orderstatus",
+            $"o_totalprice".cast("decimal(18,2)").as("v"))
+          .groupBy($"yr")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum($"v").cast("decimal(28,2)").cast("string"))
+          .select($"yr", $"F".as("f_total"), $"O".as("o_total"),
+            $"P".as("p_total"))
+          .orderBy($"yr")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'F'
+             |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS VARCHAR) AS f_total,
+             |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'O'
+             |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS VARCHAR) AS o_total,
+             |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'P'
+             |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS VARCHAR) AS p_total
+             |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    // Trailing-1-hour rolling profile per user: a RANGE frame over
+    // integer event-time microseconds (count + decimal-exact value sum
+    // of everything within the last hour, per event). The frame is
+    // TIME-bounded, not corpus-bounded, and the window partitions by
+    // user_id — one user-keyed exchange, no global order, no growth
+    // with corpus size beyond the per-user hour density.
+    "q_rolling_1h" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val micros = unix_micros($"ts".cast("timestamp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"us")
+          .rangeBetween(-3600L * 1000000L, 0L)
+        rd(s, d, "events")
+          .withColumn("us", micros)
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h",
+            sum($"value".cast("decimal(18,2)")).over(w)
+              .cast("decimal(28,2)").cast("string"))
+          .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+             |    AS DECIMAL(28,2)) AS VARCHAR) AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Corpus snapshot diff — the release-over-release comparison a
+    // curated corpus publishes (docs added / removed / changed /
+    // unchanged). Old snapshot = doc_id % 7 != 0, new snapshot drops
+    // doc_id % 11 == 3 (so all four statuses occur) and perturbs text
+    // for doc_id % 5 == 0; the diff is ONE doc_id equi-join
+    // (co-partitionable by id at scale) + a row-local hash compare +
+    // a bounded 4-row aggregate.
+    "q_snapshot_diff" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val docs = rd(s, d, "documents").select($"doc_id", md5($"text").as("h"))
+        val old = docs.filter(pmod($"doc_id", lit(7)) =!= 0)
+          .select($"doc_id", $"h".as("oh"))
+        val nw = docs.filter(pmod($"doc_id", lit(11)) =!= 3)
+          .select($"doc_id",
+            when(pmod($"doc_id", lit(5)) === 0, md5(concat($"h", lit("v2"))))
+              .otherwise($"h").as("nh"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"oh".isNull, "added")
+              .when($"nh".isNull, "removed")
+              .when($"oh" =!= $"nh", "changed")
+              .otherwise("same"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+          .orderBy($"status")
+      },
+      Some("""WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |old AS (SELECT doc_id, h AS oh FROM docs WHERE doc_id % 7 != 0),
+             |nw AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN md5(h || 'v2') ELSE h END AS nh
+             |  FROM docs WHERE doc_id % 11 != 3),
+             |j AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id, oh, nh
+             |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+             |SELECT CASE WHEN oh IS NULL THEN 'added'
+             |    WHEN nh IS NULL THEN 'removed'
+             |    WHEN oh != nh THEN 'changed' ELSE 'same' END AS status,
+             |  count(*) AS n_docs, min(doc_id) AS min_doc_id,
+             |  max(doc_id) AS max_doc_id
+             |FROM j GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // z-score length outliers per source: moment sums (n, Σx, Σx²) as
+    // exact BIGINTs through one bounded per-source agg, mean/std/z in a
+    // pinned IEEE chain (sqrt is correctly rounded in both engines),
+    // flagged docs recovered by a broadcast join of the tiny stats
+    // frame back onto the scan — the corpus is never windowed.
+    "ta_zscore_outliers" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val stats = rd(s, d, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"),
+            sum($"n_chars").as("sx"),
+            sum($"n_chars" * $"n_chars").as("sxx"))
+          .withColumn("mean", $"sx".cast("double") / $"n")
+          .withColumn("stddev",
+            sqrt($"sxx".cast("double") / $"n" - $"mean" * $"mean"))
+        rd(s, d, "documents")
+          .join(broadcast(stats), "source")
+          .withColumn("z", ($"n_chars" - $"mean") / $"stddev")
+          .filter(abs($"z") > 2.0)
+          .select($"doc_id", $"source", $"n_chars", round($"z", 3).as("z"))
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH st AS (SELECT source, count(*) AS n,
+             |    sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx
+             |  FROM documents GROUP BY source),
+             |m AS (SELECT source, CAST(sx AS DOUBLE) / n AS mean,
+             |    sqrt(CAST(sxx AS DOUBLE) / n
+             |         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS stddev
+             |  FROM st)
+             |SELECT doc_id, d.source, n_chars,
+             |  round((n_chars - mean) / stddev, 3) AS z
+             |FROM documents d JOIN m ON d.source = m.source
+             |WHERE abs((n_chars - mean) / stddev) > 2.0
+             |ORDER BY d.source, doc_id""".stripMargin))
+  )
+}
