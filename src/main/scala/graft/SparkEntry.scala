@@ -26,7 +26,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.entries ++ graft.queries.XQueries.entries ++
       graft.queries.OpQueries.entries ++ graft.queries.TranscriptQueries.entries ++
       graft.queries.SketchQueries.entries ++ graft.queries.SourceQueries.entries ++
-      graft.queries.OlapQueries.entries
+      graft.queries.OlapQueries.entries ++ graft.queries.GraphQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

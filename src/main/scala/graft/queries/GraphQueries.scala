@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Blocked fuzzy matching and iterative link-authority scoring — two
+  * corpus-ops shapes the dedup/CC family doesn't cover: candidate
+  * generation by edit distance under a blocking key (never a full
+  * cross product), and a fixed-iteration PageRank in exact integer
+  * arithmetic (the crawl-prioritization / authority-weighting pass).
+  */
+object GraphQueries {
+  import Q._
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // Spell-correction candidate generation: deterministic typos
+    // (second char dropped from every frequent token — the planted
+    // family, since the synthetic corpus has no natural typos) matched
+    // back against the vocabulary by Levenshtein distance 1 under a
+    // BLOCKING key (first char + length band): candidates are bounded
+    // by block sizes, the token cross product never forms. Both
+    // engines run the same classic unit-cost levenshtein.
+    "q_fuzzy_join_blocked" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val v = rd(s, d, "documents")
+          .select(explode(tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("df"))
+        val probes = v
+          .filter($"df" >= 5 && length($"token") >= 4)
+          .select(concat(substring($"token", 1, 1),
+            expr("substr(token, 3)")).as("typo"))
+          .distinct()
+        val lhs = probes.select($"typo",
+          substring($"typo", 1, 1).as("c"),
+          explode(array(length($"typo") - 1, length($"typo"),
+            length($"typo") + 1)).as("bl"))
+        val rhs = v.select($"token", $"df",
+          substring($"token", 1, 1).as("c"), length($"token").as("bl"))
+        lhs.join(rhs, Seq("c", "bl"))
+          .filter(levenshtein($"typo", $"token") === 1)
+          .select($"typo", $"token", $"df")
+          .orderBy($"typo", $"token")
+      },
+      Some(s"""WITH tk AS (SELECT unnest($sqlToks2) AS token FROM documents),
+              |v AS (SELECT token, count(*) AS df FROM tk GROUP BY token),
+              |probes AS (SELECT DISTINCT substr(token, 1, 1) || substr(token, 3) AS typo
+              |  FROM v WHERE df >= 5 AND length(token) >= 4),
+              |lhs AS (SELECT typo, substr(typo, 1, 1) AS c, length(typo) + dd AS bl
+              |  FROM probes, (VALUES (-1), (0), (1)) t(dd)),
+              |rhs AS (SELECT token, df, substr(token, 1, 1) AS c,
+              |    length(token) AS bl FROM v)
+              |SELECT typo, token, df FROM lhs JOIN rhs USING (c, bl)
+              |WHERE levenshtein(typo, token) = 1
+              |ORDER BY typo, token""".stripMargin)),
+
+    // PageRank, 3 power iterations over a deterministic 3-out link
+    // graph on doc ids (the authority score a crawl scheduler feeds
+    // back into fetch priority). ALL-INTEGER: ranks in micro-units,
+    // contribution = rank div outdeg, next = 150000 + 850000·sum div
+    // 10^6 — integer division truncation is part of the pinned
+    // definition, so both engines agree exactly. Topology per
+    // iteration: one src-keyed join + one dst-keyed agg + a left join
+    // back onto the node set (nodes with no inbound links keep the
+    // teleport mass) — the dd_cluster_cc shape with a FIXED iteration
+    // count, no driver-side loop state beyond plan construction.
+    "q_pagerank_iter" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val docs = rd(s, d, "documents").select($"doc_id")
+        val nRow = docs.agg(count(lit(1)).as("n"))
+        val nodes = docs.crossJoin(broadcast(nRow))
+        def tgt(m: Long, a: Long): Column = pmod($"doc_id" * m + a, $"n")
+        val edges = nodes
+          .select($"doc_id".as("src"),
+            explode(array(tgt(31, 7), tgt(17, 3), tgt(13, 11))).as("dst"))
+          .filter($"src" =!= $"dst")
+        val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+        var ranks = docs.select($"doc_id", lit(1000000L).as("rank"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .join(outdeg, "src")
+            .select($"dst", expr("rank div outdeg").as("contrib"))
+            .groupBy($"dst").agg(sum($"contrib").as("mass"))
+          ranks = docs
+            .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+            .select($"doc_id",
+              (lit(150000L) + expr("mass * 850000 div 1000000")).as("r"))
+            .select($"doc_id", coalesce($"r", lit(150000L)).as("rank"))
+        }
+        ranks.orderBy($"rank".desc, $"doc_id").limit(20)
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+             |nodes AS (SELECT doc_id FROM documents),
+             |edges AS (SELECT src, dst FROM (
+             |    SELECT doc_id AS src, (doc_id * 31 + 7) % n.n AS dst FROM nodes, n
+             |    UNION ALL SELECT doc_id, (doc_id * 17 + 3) % n.n FROM nodes, n
+             |    UNION ALL SELECT doc_id, (doc_id * 13 + 11) % n.n FROM nodes, n)
+             |  WHERE src != dst),
+             |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+             |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+             |c1 AS (SELECT dst, sum(rank // outdeg) AS mass
+             |  FROM edges JOIN r0 ON edges.src = r0.doc_id
+             |  JOIN outdeg USING (src) GROUP BY dst),
+             |r1 AS (SELECT doc_id,
+             |    CAST(coalesce(150000 + mass * 850000 // 1000000, 150000) AS BIGINT) AS rank
+             |  FROM nodes LEFT JOIN c1 ON nodes.doc_id = c1.dst),
+             |c2 AS (SELECT dst, sum(rank // outdeg) AS mass
+             |  FROM edges JOIN r1 ON edges.src = r1.doc_id
+             |  JOIN outdeg USING (src) GROUP BY dst),
+             |r2 AS (SELECT doc_id,
+             |    CAST(coalesce(150000 + mass * 850000 // 1000000, 150000) AS BIGINT) AS rank
+             |  FROM nodes LEFT JOIN c2 ON nodes.doc_id = c2.dst),
+             |c3 AS (SELECT dst, sum(rank // outdeg) AS mass
+             |  FROM edges JOIN r2 ON edges.src = r2.doc_id
+             |  JOIN outdeg USING (src) GROUP BY dst),
+             |r3 AS (SELECT doc_id,
+             |    CAST(coalesce(150000 + mass * 850000 // 1000000, 150000) AS BIGINT) AS rank
+             |  FROM nodes LEFT JOIN c3 ON nodes.doc_id = c3.dst)
+             |SELECT doc_id, rank FROM r3
+             |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin))
+  )
+
+  /** sqlToks WITHOUT the distinct-per-doc collapse is unnecessary here —
+    * reuse the shared tokenizer mirror.
+    */
+  private def sqlToks2: String = PipelineQueries.sqlToks
+}

@@ -413,6 +413,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tr_sft_mix must hash conv_id exactly once, found $mxConv:\n" + mx.take(2000))
   }
 
+  test("blocked fuzzy join and pagerank plan as hash joins, never products") {
+    // fuzzy: the levenshtein verify must sit ON TOP of a (c, bl)-keyed
+    // equi-join — blocking bounds the candidates; a product would mean
+    // the blocking key fell out of the join condition
+    val fz = plan(graft.SparkEntry.queries("q_fuzzy_join_blocked")(spark, sf))
+    assert(!fz.contains("CartesianProduct") && !fz.contains("BroadcastNestedLoop"),
+      "fuzzy join must stay a blocked equi-join:\n" + fz.take(2000))
+    assert(fz.contains("levenshtein"), fz.take(1000))
+    // pagerank: 3 unrolled iterations of join+agg; the rank/edge joins
+    // are equi joins, never a CartesianProduct. The only nested-loop
+    // nodes allowed are the broadcast CROSS of the one-row corpus-count
+    // aggregate (the scalar-broadcast idiom ta_tfidf_topk also uses).
+    val pr = plan(graft.SparkEntry.queries("q_pagerank_iter")(spark, sf))
+    assert(!pr.contains("CartesianProduct"),
+      "pagerank iterations must be equi-joins:\n" + pr.take(2000))
+    // match only the tree-form nodes ("BroadcastNestedLoopJoin <type>");
+    // the formatted detail section repeats each node without the type
+    val bnlj = "BroadcastNestedLoopJoin \\w+".r.findAllIn(pr).size
+    val bnljCross = "BroadcastNestedLoopJoin Cross".r.findAllIn(pr).size
+    assert(bnlj == bnljCross,
+      "every nested-loop node must be the broadcast scalar cross:\n" + pr.take(2000))
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
