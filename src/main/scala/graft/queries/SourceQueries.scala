@@ -62,6 +62,77 @@ object SourceQueries {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, source, n_chars, md5(text) AS h
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ORC round-trip: the columnar interchange format besides parquet
+    // this Spark build ships a native reader/writer for (no spark-avro
+    // data-source jar in /opt/spark/jars, so Avro is out of scope —
+    // documented, not stubbed). Full text payload through ORC string
+    // encoding.
+    "src_orc_roundtrip" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val out = tmp("graft-srcrt-orc")
+        rd(s, d, "documents")
+          .select($"doc_id", $"source", $"n_chars", $"text")
+          .write.mode("overwrite").orc(out)
+        s.read
+          .schema("doc_id BIGINT, source STRING, n_chars BIGINT, text STRING")
+          .orc(out)
+          .select($"doc_id", $"source", $"n_chars", md5($"text").as("h"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars, md5(text) AS h
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Parquet zstd-codec round-trip: at 100 TB the codec choice is a
+    // 20-40% storage/scan-IO lever; this gates that the zstd write path
+    // (non-default; snappy is the default) round-trips losslessly.
+    "src_parquet_zstd_roundtrip" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val out = tmp("graft-srcrt-zstd")
+        rd(s, d, "documents")
+          .select($"doc_id", $"source", $"n_chars", $"text")
+          .write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .select($"doc_id", $"source", $"n_chars", md5($"text").as("h"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars, md5(text) AS h
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Hive-style partitioned layout + partition PRUNING: write the
+    // documents table partitioned by source, read back with a source
+    // predicate. At 100 TB the partition column is the first-order scan
+    // eliminator (only matching directories are even listed); PlanSpec
+    // asserts the predicate lands in PartitionFilters, not a post-scan
+    // filter. The partition column round-trips through the directory
+    // NAME (value-as-path), which is why the oracle match also proves
+    // the path encoding is lossless for these values.
+    "src_partitioned_pruning" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val out = tmp("graft-srcrt-part")
+        rd(s, d, "documents")
+          .write.mode("overwrite").partitionBy("source").parquet(out)
+        s.read.parquet(out)
+          .filter($"source" === "src3")
+          .select($"doc_id", $"source", $"n_chars", md5($"text").as("h"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars, md5(text) AS h
+             |FROM documents WHERE source = 'src3' ORDER BY doc_id""".stripMargin))
   )
+
+  /** The partitioned-layout frame for PlanSpec's pruning assertion:
+    * written once, read with the pruning predicate.
+    */
+  def partitionedScanForPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft-srcrt-planprobe")
+    rd(s, d, "documents")
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    s.read.parquet(out).filter($"source" === "src3").select($"doc_id")
+  }
 }

@@ -436,6 +436,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every nested-loop node must be the broadcast scalar cross:\n" + pr.take(2000))
   }
 
+  test("partition predicate prunes at the directory level, not post-scan") {
+    val df = graft.queries.SourceQueries.partitionedScanForPlan(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters"), p.take(1500))
+    // the source predicate must appear among the partition filters
+    assert(p.matches("(?s).*PartitionFilters:.*src3.*"),
+      "source=src3 not pruned at partition level:\n" + p.take(2000))
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
