@@ -107,7 +107,14 @@ object ScaleProbe {
       // f^2 per clique); at 100x the 64-doc cap DROPS clique windows,
       // so time must fall back to ~linear explode cost — the probe
       // demonstrates the cap bounding the blowup, not avoiding work
-      "dd_exact_substring", "dd_exact_substring_span")
+      "dd_exact_substring", "dd_exact_substring_span",
+      // r5 sketch/graph additions: the HLL register agg and CMS cell agg
+      // must stay linear in corpus tokens (bounded keyspaces — the whole
+      // point of a sketch); pagerank is 3 join+agg rounds over a graph
+      // that grows with the corpus; the blocked fuzzy join must stay
+      // bounded by block sizes as the vocabulary grows
+      "sk_hll_distinct", "sk_cms_heavy_hitters", "q_pagerank_iter",
+      "q_fuzzy_join_blocked")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes

@@ -175,6 +175,28 @@ object SketchQueries {
            |  FROM pc JOIN cells USING (r, cl) GROUP BY token)
            |SELECT token, df_exact, cms_est, cms_est >= df_exact AS no_underestimate
            |FROM est ORDER BY df_exact DESC, token""".stripMargin
-      })
+      }),
+
+    // SpaceSaving top-k via the native TypedImperativeAggregate
+    // (plans.TopKAgg): one-pass bounded-memory frequent items with NO
+    // item-keyed shuffle — k counters per task, partials merged
+    // pairwise. Gated in the EXACT regime (distinct sources = 20 <=
+    // k = 64, so no eviction happens at any partitioning/merge order
+    // and every err is 0 — the summary provably equals the exact
+    // per-source counts, hence hash-gateable); the over-capacity
+    // SpaceSaving regime (evictions, error bounds, heavy-hitter
+    // guarantee) is pinned by TopKAggSpec.
+    "sk_spacesaving_topk" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "documents")
+          .agg(graft.plans.TopKAgg.spaceSavingTopK($"source", 64).as("tk"))
+          .select(explode($"tk").as("e"))
+          .select($"e.item".as("source"), $"e.cnt".as("n"), $"e.err".as("err"))
+          .orderBy($"n".desc, $"source")
+      },
+      Some("""SELECT source, count(*) AS n, CAST(0 AS BIGINT) AS err
+             |FROM documents GROUP BY source
+             |ORDER BY n DESC, source""".stripMargin))
   )
 }
