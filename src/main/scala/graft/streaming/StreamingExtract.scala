@@ -202,4 +202,17 @@ object StreamingExtract {
     ConvSummary(convId, next.turns, next.okTurns, next.lastIdx, gap,
       closed = false, dropped_late = dropped)
   }
+
+  /** Stream-static enrichment: left-join the turn stream against a
+    * STATIC dimension (a routing/priority/quarantine table). Spark
+    * re-plans the static side per micro-batch, so a dimension refresh
+    * lands on the next batch without restarting the query; the explicit
+    * broadcast keeps the stream side from shuffling for the join — the
+    * only viable shape when the stream is the 100 TB/day side and the
+    * dim is bounded.
+    */
+  def enrichWithDim(turns: DataFrame, dim: DataFrame,
+      key: String = "conv_id"): DataFrame =
+    turns.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(key), "left")
 }

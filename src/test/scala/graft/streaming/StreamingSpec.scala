@@ -176,4 +176,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got == want)
   }
+
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val turns = TranscriptGen.turns(6, 8).toVector
+    val dim = turns.map(_.conv_id).distinct.sorted.zipWithIndex
+      .collect { case (cid, i) if i % 2 == 0 => (cid, s"tier${i % 3}") }
+      .toDF("conv_id", "tier")
+    val enriched = StreamingExtract.enrichWithDim(input.toDF(), dim)
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    val cut = turns.length / 2
+    input.addData(turns.take(cut))
+    q.processAllAvailable()
+    input.addData(turns.drop(cut))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .select($"conv_id", $"turn_idx", $"tier")
+      .as[(String, Int, Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toVector
+    // batch oracle: same left join on the full input
+    val dimMap = dim.as[(String, String)].collect().toMap
+    val want = turns
+      .map(t => (t.conv_id, t.turn_idx, dimMap.get(t.conv_id)))
+      .sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // unmatched conversations survive the LEFT join with a null tier
+    assert(want.exists(_._3.isEmpty) && want.exists(_._3.nonEmpty))
+  }
 }
