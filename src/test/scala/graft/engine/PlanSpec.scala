@@ -445,6 +445,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "source=src3 not pruned at partition level:\n" + p.take(2000))
   }
 
+  test("catalog-bucketed tables join with ZERO exchange (co-located join)") {
+    // the other half of the bucketing story: TranscriptsTable buckets by
+    // directory layout for the extract path; catalog bucketBy covers the
+    // JOIN path — two tables bucketed+sorted on the key merge-join with
+    // no shuffle on either side (the pre-shuffled layout a recurring
+    // 100 TB join pays for once at write time)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    (0 until 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+    (0 until 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+    val j = s2.table("bkt_a").join(s2.table("bkt_b"), "k")
+    val p = plan(j)
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Exchange"),
+      "bucketed co-located join must not shuffle:\n" + p.take(2000))
+    assert(j.count() === 1000L)
+  }
+
   test("presorted bucketed extract is a narrow plan: zero shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("plan-test").toString
     TranscriptsTable.appendSnapshot(spark, dir, 1, 0, 5, 8, buckets = 2)
