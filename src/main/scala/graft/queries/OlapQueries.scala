@@ -40,6 +40,28 @@ object OlapQueries {
              |GROUP BY CUBE (event_type, hr)
              |ORDER BY event_type, hr""".stripMargin)),
 
+    // GROUPING SETS — the third member of the multi-level family (CUBE
+    // above, ROLLUP in CoreQueries): exactly the two single-dimension
+    // marginals, no combined level, still ONE Expand pass. Uses the
+    // Dataset.groupingSets API new in Spark 4.
+    "q_grouping_sets" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "events")
+          .select($"event_type", hour($"ts").cast("long").as("hr"))
+          .groupingSets(Seq(Seq($"event_type"), Seq($"hr")),
+            $"event_type", $"hr")
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+            coalesce($"hr", lit(-1L)).as("hr"), $"n")
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(hr, -1) AS hr, count(*) AS n
+             |FROM (SELECT event_type, hour(ts) AS hr FROM events)
+             |GROUP BY GROUPING SETS ((event_type), (hr))
+             |ORDER BY event_type, hr""".stripMargin)),
+
     // PIVOT with an EXPLICIT value list (order status -> columns): the
     // explicit list matters at scale — Spark's value-less pivot runs a
     // driver-side distinct collect over the pivot column first; naming

@@ -122,7 +122,37 @@ object SourceQueries {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, source, n_chars, md5(text) AS h
-             |FROM documents WHERE source = 'src3' ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE source = 'src3' ORDER BY doc_id""".stripMargin)),
+
+    // Corrupt-record-tolerant ingestion: a JSONL feed with planted
+    // malformed lines (doc_id % 9 == 4) read in PERMISSIVE mode — bad
+    // lines land in _corrupt_record instead of failing the job (the
+    // FAILFAST alternative) or silently vanishing (DROPMALFORMED).
+    // Output = per-source good counts + one '_corrupt' bucket; the
+    // oracle recomputes both from the planting rule, so the hash match
+    // proves the reader quarantined exactly the planted lines and
+    // parsed every clean one.
+    "src_jsonl_corrupt_permissive" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val out = tmp("graft-srcrt-corrupt")
+        rd(s, d, "documents")
+          .select(
+            when(pmod($"doc_id", lit(9)) === 4, lit("{broken json"))
+              .otherwise(to_json(struct($"doc_id", $"source")))
+              .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read
+          .schema("doc_id BIGINT, source STRING, _corrupt_record STRING")
+          .json(out)
+          .groupBy(coalesce($"source", lit("_corrupt")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT bucket, count(*) AS n FROM (
+             |  SELECT CASE WHEN doc_id % 9 = 4 THEN '_corrupt' ELSE source END AS bucket
+             |  FROM documents)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   /** The partitioned-layout frame for PlanSpec's pruning assertion:

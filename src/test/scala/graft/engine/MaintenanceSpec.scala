@@ -91,7 +91,11 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Maintenance.mergeUpsert(spark, base,
       Seq((3L, "c")).toDF("id", "v"), Seq("id"))
     assert(Maintenance.currentVersion(base) === Some(3L))
+    // time travel: v2 readable (and distinct from v3) until vacuumed
+    assert(Maintenance.readVersion(spark, base, 2L).count() === 2L)
     val removed = Maintenance.vacuum(base)
+    assertThrows[IllegalArgumentException](
+      Maintenance.readVersion(spark, base, 2L))
     assert(removed === Seq(1L, 2L))
     // current version intact and fully readable
     assert(Maintenance.readCurrent(spark, base).count() === 3L)
