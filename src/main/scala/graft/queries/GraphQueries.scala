@@ -73,10 +73,14 @@ object GraphQueries {
         val nRow = docs.agg(count(lit(1)).as("n"))
         val nodes = docs.crossJoin(broadcast(nRow))
         def tgt(m: Long, a: Long): Column = pmod($"doc_id" * m + a, $"n")
+        // materialize the edge list once (localCheckpoint — the
+        // dd_cluster_cc idiom): each of the 3 unrolled iterations would
+        // otherwise re-derive it from the scan inside its own subtree
         val edges = nodes
           .select($"doc_id".as("src"),
             explode(array(tgt(31, 7), tgt(17, 3), tgt(13, 11))).as("dst"))
           .filter($"src" =!= $"dst")
+          .localCheckpoint()
         val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
         var ranks = docs.select($"doc_id", lit(1000000L).as("rank"))
         for (_ <- 1 to 3) {
