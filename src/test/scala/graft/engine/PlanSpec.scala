@@ -454,6 +454,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     import s2.implicits._
+    // an interrupted prior run can leave the warehouse directory behind
+    // without its catalog entry; DROP alone won't clear the orphan location
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s2.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     (0 until 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
       .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
     (0 until 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
