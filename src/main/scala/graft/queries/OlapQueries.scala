@@ -162,6 +162,85 @@ object OlapQueries {
              |  max(doc_id) AS max_doc_id
              |FROM j GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    // Ordered event funnel (view -> click -> purchase): each stage is
+    // the first qualifying event STRICTLY AFTER the user's previous
+    // stage, the product-analytics primitive (Amplitude/Mixpanel-style).
+    // Topology: every join and aggregate is keyed on user_id, so one
+    // hash partitioning serves the whole chain (exchange reuse); each
+    // stage frame is at most one row per user, and the raw events are
+    // filtered to one type BEFORE each join — the fact table is scanned
+    // once per stage but never windowed and never self-joined on an
+    // inequality. At 100 TB: three user-keyed shuffles of filtered
+    // single-type slices, no cross product, no per-user sort.
+    "q_funnel_conversion" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ev = rd(s, d, "events").select($"user_id", $"event_type", $"ts")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t_view"))
+        val c = ev.filter($"event_type" === "click").join(v, "user_id")
+          .filter($"ts" > $"t_view")
+          .groupBy($"user_id").agg(min($"ts").as("t_click"))
+        val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+          .filter($"ts" > $"t_click")
+          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+        v.agg(count(lit(1)).as("n_users"))
+          .select(lit(1L).as("stage_idx"), lit("view").as("stage"), $"n_users")
+          .union(c.agg(count(lit(1)).as("n_users"))
+            .select(lit(2L).as("stage_idx"), lit("click").as("stage"), $"n_users"))
+          .union(p.agg(count(lit(1)).as("n_users"))
+            .select(lit(3L).as("stage_idx"), lit("purchase").as("stage"), $"n_users"))
+          .orderBy($"stage_idx")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |    WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |    FROM events e JOIN v ON e.user_id = v.user_id
+             |    WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |    GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |    FROM events e JOIN c ON e.user_id = c.user_id
+             |    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |    GROUP BY e.user_id)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+             |  count(*) AS n_users FROM v
+             |UNION ALL
+             |SELECT 2, 'click', count(*) FROM c
+             |UNION ALL
+             |SELECT 3, 'purchase', count(*) FROM p
+             |ORDER BY stage_idx""".stripMargin)),
+
+    // Cohort retention matrix: users grouped by first-seen epoch week,
+    // activity counted per week offset — the second standard product-
+    // analytics shape. Week index is integer epoch arithmetic
+    // (floor(epoch/604800)) so both engines bucket identically; the
+    // fractional second cannot move a row across a week boundary.
+    // Topology: first-seen agg and the activity join are BOTH keyed on
+    // user_id (co-partitioned, exchange reuse), then one bounded agg on
+    // (cohort_wk, week_offset) — a frame of O(weeks²) rows. countDistinct
+    // is exact here; at 100 TB swap for approx_count_distinct or keep
+    // exact via the two-level (cohort, offset, user) pre-distinct, which
+    // is the same user-keyed shuffle already paid.
+    "q_retention_cohort" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ew = rd(s, d, "events")
+          .select($"user_id",
+            floor(unix_timestamp($"ts") / 604800L).cast("long").as("wk"))
+        val first = ew.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        ew.join(first, "user_id")
+          .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_wk", $"week_offset")
+      },
+      Some("""WITH ew AS (SELECT user_id,
+             |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ew GROUP BY user_id)
+             |SELECT f.cohort_wk, ew.wk - f.cohort_wk AS week_offset,
+             |  count(DISTINCT ew.user_id) AS n_users
+             |FROM ew JOIN f ON ew.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // z-score length outliers per source: moment sums (n, Σx, Σx²) as
     // exact BIGINTs through one bounded per-source agg, mean/std/z in a
     // pinned IEEE chain (sqrt is correctly rounded in both engines),

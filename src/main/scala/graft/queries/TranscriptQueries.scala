@@ -885,6 +885,93 @@ object TranscriptQueries {
            |FROM win
            |WHERE role = 'assistant' AND h NOT IN (SELECT ch FROM canned)
            |ORDER BY conv_id, turn_idx""".stripMargin
-      })
+      }),
+
+    // Longest same-role streak per conversation (gaps-and-islands): a
+    // run of consecutive turns by one role is an island keyed by
+    // turn_idx - row_number-within-role; the per-conversation maximum
+    // flags monologue-shaped dialogues (stuck agents, flooding tools).
+    // Topology: two windows and one agg, ALL partitioned by conv_id —
+    // one shuffle, frames bounded by conversation length, free on the
+    // bucketed conv-sorted layout.
+    "tr_streaks" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val wr = Window.partitionBy($"conv_id", $"role").orderBy($"turn_idx")
+        transcripts(s, d)
+          .withColumn("isl", $"turn_idx" - row_number().over(wr))
+          .groupBy($"conv_id", $"role", $"isl")
+          .agg(count(lit(1)).as("run_len"), min($"turn_idx").as("run_start"))
+          // argmax run per conversation: longest run, earliest start as
+          // the deterministic tiebreak (run starts are unique in a conv,
+          // so the struct ordering is total before role is consulted)
+          .groupBy($"conv_id")
+          .agg(max(struct($"run_len", (-$"run_start").as("neg_start"),
+            $"role")).as("best"))
+          .select($"conv_id", $"best.run_len".as("max_streak"),
+            (-$"best.neg_start").as("streak_start"),
+            $"best.role".as("streak_role"))
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |isl AS (SELECT conv_id, role,
+              |    turn_idx - row_number() OVER (PARTITION BY conv_id, role
+              |                                  ORDER BY turn_idx) AS g,
+              |    turn_idx FROM tr),
+              |runs AS (SELECT conv_id, role, g, count(*) AS run_len,
+              |    min(turn_idx) AS run_start
+              |  FROM isl GROUP BY conv_id, role, g)
+              |SELECT conv_id, run_len AS max_streak,
+              |  run_start AS streak_start, role AS streak_role
+              |FROM runs
+              |QUALIFY row_number() OVER (PARTITION BY conv_id
+              |    ORDER BY run_len DESC, run_start ASC) = 1
+              |ORDER BY conv_id""".stripMargin)),
+
+    // Per-turn token novelty: the fraction of a turn's distinct tokens
+    // never seen earlier in the same conversation — the information-gain
+    // signal that separates substantive replies from parroting. Tokens
+    // are attributed to their FIRST turn via one (conv, token) min-agg;
+    // novelty is recovered by re-joining on (conv, token, turn) — no
+    // quadratic turn-vs-history comparison, no window over token sets.
+    // Topology: explode, one shuffle on (conv_id, tok) for the min-agg,
+    // one co-keyed join back, one (conv, turn) agg. All keys are
+    // fine-grained (conv × token), so skew from giant conversations
+    // spreads across their vocabulary instead of landing on one task.
+    "tr_turn_novelty" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val toks = transcripts(s, d)
+          .select($"conv_id", $"turn_idx",
+            explode(array_distinct(split($"text", " "))).as("tok"))
+          .filter(length($"tok") > 0)
+        val firstSeen = toks.groupBy($"conv_id", $"tok")
+          .agg(min($"turn_idx").as("first_turn"))
+        toks.join(firstSeen, Seq("conv_id", "tok"))
+          .groupBy($"conv_id", $"turn_idx")
+          .agg(count(lit(1)).as("n_distinct_toks"),
+            count(when($"first_turn" === $"turn_idx", 1)).as("n_novel"))
+          // basis points as an exact integer: floor on BOTH engines
+          // (Spark's long/long `/` is double division then truncation,
+          // DuckDB's CAST(double AS BIGINT) rounds — floor pins them)
+          .withColumn("novelty_pct",
+            floor($"n_novel" * 10000L / $"n_distinct_toks").cast("long"))
+          .orderBy($"conv_id", $"turn_idx")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |toks AS (SELECT DISTINCT conv_id, turn_idx, tok
+              |  FROM (SELECT conv_id, turn_idx,
+              |          unnest(string_split(text, ' ')) AS tok FROM tr)
+              |  WHERE len(tok) > 0),
+              |fs AS (SELECT conv_id, tok, min(turn_idx) AS first_turn
+              |  FROM toks GROUP BY conv_id, tok)
+              |SELECT t.conv_id, t.turn_idx,
+              |  count(*) AS n_distinct_toks,
+              |  count(CASE WHEN fs.first_turn = t.turn_idx THEN 1 END) AS n_novel,
+              |  CAST(floor(count(CASE WHEN fs.first_turn = t.turn_idx THEN 1 END)
+              |       * 10000 / count(*)) AS BIGINT) AS novelty_pct
+              |FROM toks t JOIN fs ON t.conv_id = fs.conv_id AND t.tok = fs.tok
+              |GROUP BY t.conv_id, t.turn_idx
+              |ORDER BY t.conv_id, t.turn_idx""".stripMargin))
   )
 }
