@@ -940,6 +940,35 @@ object Extract {
       .sortBy(t => (t._1, t._2, t._3))
   }
 
+  /** Multi-column READING ORDER from positioned spans — the layout-parse
+    * step between raw geometry and linear text (a PDF two-column page
+    * must be read left column top-to-bottom, THEN right column; naive
+    * y-order interleaves the columns). Columns come from 1-D gap
+    * clustering over the page-wide x profile (same primitive as
+    * [[tableCells]], wider gap: column gutters are an order of magnitude
+    * larger than intra-column jitter), order within a column is (y, x,
+    * text). Returns spans tagged 0..n-1 in reading order.
+    *
+    * Row-local per document/page — the 100 TB shape is a flatMap, no
+    * shuffle (reference analog: the linearization the reference gets for
+    * free from Textract's LINE ordering, e.g.
+    * EthansCode/Ethan_PDFandJPG3.py's line loop).
+    */
+  def readingOrder(spans: Seq[PosSpan], colGap: Double = 0.3): Seq[(Int, String)] = {
+    if (spans.isEmpty) return Seq.empty
+    val xs = spans.map(_.x).distinct.sorted
+    val colOf = scala.collection.mutable.HashMap.empty[Double, Int]
+    var c = 0
+    var j = 0
+    while (j < xs.length) {
+      if (j > 0 && xs(j) - xs(j - 1) > colGap) c += 1
+      colOf(xs(j)) = c
+      j += 1
+    }
+    spans.sortBy(s => (colOf(s.x), s.y, s.x, s.text))
+      .zipWithIndex.map { case (s, i) => (i, s.text) }
+  }
+
   // -------------------------------------------------------------------------
   // Confidence (A1/A2).
   // -------------------------------------------------------------------------

@@ -379,4 +379,117 @@ object Multimodal {
       .map(id => MediaRow(id, "audio/wav", wavBytes(id)))
       .toDF()
   }
+
+  /** REAL decoder arm #4 — JPEG/JFIF (the reference's other image type:
+    * the Pillow `img.verify()` path accepts .jpg alongside .png —
+    * SearchingS3Buckets/S3LookThrough_Final.py:49-57). Unlike the fixed-
+    * offset WAV header, JPEG dimensions live in a SOF segment at a
+    * VARIABLE offset — the decoder must walk the marker-segment chain
+    * (each segment: 0xFF marker, u16 big-endian length INCLUDING the
+    * length field) until it reaches SOF0 (baseline) or SOF2
+    * (progressive). That walk is the integrity check: a corrupted
+    * segment length desynchronizes it (the next byte is not 0xFF) and
+    * the decoder reports a structurally broken file, exactly like PDF's
+    * startxref dereference. Feature layout (fixed [[FeatureDim]]):
+    * [soi_ok, height, width, n_components, progressive, walk_ok, 0, 0];
+    * bad magic yields [0, -1, -1, -1, -1, -1, 0, 0], a broken walk
+    * [1, -1, -1, -1, -1, 0, 0, 0].
+    */
+  object JpegHeaderDecoder extends MediaDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] = {
+      val bs = batch.size
+      batch.map { r =>
+        val b = r.payload
+        val feats = new Array[Double](FeatureDim)
+        val soi = b.length >= 4 &&
+          (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+        if (!soi) {
+          java.util.Arrays.fill(feats, 1, 6, -1.0)
+        } else {
+          feats(0) = 1.0
+          java.util.Arrays.fill(feats, 1, 5, -1.0)
+          // marker-segment walk from just past SOI
+          var pos = 2
+          var done = false
+          while (!done && pos + 4 <= b.length) {
+            if ((b(pos) & 0xff) != 0xff) {
+              done = true // desynchronized: corrupted segment length
+            } else {
+              val marker = b(pos + 1) & 0xff
+              val len = u16(b, pos + 2)
+              if ((marker == 0xc0 || marker == 0xc2) && pos + 2 + len <= b.length) {
+                // SOF: precision u8, height u16, width u16, ncomp u8
+                feats(1) = u16(b, pos + 5).toDouble
+                feats(2) = u16(b, pos + 7).toDouble
+                feats(3) = (b(pos + 9) & 0xff).toDouble
+                feats(4) = if (marker == 0xc2) 1.0 else 0.0
+                feats(5) = 1.0
+                done = true
+              } else if (len < 2) {
+                done = true // structurally impossible length
+              } else {
+                pos += 2 + len
+              }
+            }
+          }
+        }
+        DecodedRow(r.doc_id, r.media_type, b.length, bs, feats)
+      }
+    }
+  }
+
+  /** Deterministic REAL JPEG header bytes for doc_id: SOI, a spec-valid
+    * JFIF APP0 (16 bytes of payload), a DQT stub segment (so the SOF is
+    * never at a fixed offset — its position depends on the DQT size,
+    * 1 + id % 4 filler bytes), then SOF0 (baseline) or SOF2 (progressive,
+    * every third id) carrying precision 8, height = 1 + id % 1080,
+    * width = 1 + id % 1920, components 1 or 3 by id % 2. Corruption
+    * families mirror the other arms: id % 11 == 0 flips the SOI's second
+    * byte (bad magic); else id % 13 == 0 adds one to the APP0 length so
+    * the marker walk desynchronizes (structurally broken).
+    */
+  def jpegBytes(docId: Long): Array[Byte] = {
+    val h = (1 + docId % 1080).toInt
+    val w = (1 + docId % 1920).toInt
+    val ncomp = if (docId % 2 == 0) 3 else 1
+    val sofMarker = if (docId % 3 == 0) 0xc2 else 0xc0
+    val dqtFill = (1 + docId % 4).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = out += (v & 0xff).toByte
+    def u16b(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    u8(0xff); u8(0xd8) // SOI
+    // APP0/JFIF: len 16, "JFIF\0", version 1.2, units 0, density 1x1, no thumb
+    u8(0xff); u8(0xe0)
+    val app0LenAt = out.length
+    u16b(16)
+    "JFIF".foreach(c => u8(c.toInt)); u8(0)
+    u8(1); u8(2); u8(0); u16b(1); u16b(1); u8(0); u8(0)
+    // DQT stub of variable size so SOF floats
+    u8(0xff); u8(0xdb); u16b(2 + dqtFill)
+    for (i <- 0 until dqtFill) u8((docId + i).toInt & 0xff)
+    // SOF0/SOF2: len = 8 + 3*ncomp, precision, height, width, ncomp, comps
+    u8(0xff); u8(sofMarker); u16b(8 + 3 * ncomp); u8(8)
+    u16b(h); u16b(w); u8(ncomp)
+    for (c <- 0 until ncomp) { u8(c + 1); u8(0x11); u8(0) }
+    val bytes = out.toArray
+    if (docId % 11 == 0) bytes(1) = (bytes(1) ^ 0xff).toByte
+    else if (docId % 13 == 0) {
+      // APP0 length +1: the walk lands one byte late, off the 0xFF grid
+      bytes(app0LenAt + 1) = (bytes(app0LenAt + 1) + 1).toByte
+    }
+    bytes
+  }
+
+  /** Media frame whose payloads are [[jpegBytes]] — real bytes the
+    * [[JpegHeaderDecoder]] round-trips by actual marker-walk parsing.
+    */
+  def jpegMediaFrom(spark: SparkSession, docIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    docIds.select($"doc_id".cast("long")).as[Long]
+      .map(id => MediaRow(id, "image/jpeg", jpegBytes(id)))
+      .toDF()
+  }
 }

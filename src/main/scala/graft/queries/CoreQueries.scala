@@ -397,6 +397,42 @@ object CoreQueries {
       },
       Some("""SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) % 10 AS k_bucket,
              |  count(*) AS n
-             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
+    // SALTED skew join — the explicit hot-key pattern (AQE's skew-join
+    // split only fires on sort-merge stats; when one fact key dominates
+    // a partition regardless, salting is the deterministic fix): the
+    // fact side gets salt = event_id % 8 (uniform, row-local), the dim
+    // side is fanned out ×8 by an explode, and the join key becomes
+    // (key, salt) so one hot user's rows spread over 8 tasks instead of
+    // one. shuffle_hash hint pins the shuffled-hash plan — a broadcast
+    // of the fanned dim would be both legal and pointless here; at
+    // 100 TB the dim is too big to broadcast and this IS the plan.
+    // Semantics are oracle-identical to the unsalted join (the salt is
+    // partitioning metadata, not data). The final agg re-merges the
+    // salt shards of each segment.
+    "q_skew_salted_join" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val S = 8
+        val fact = rd(s, d, "events")
+          .select($"user_id", $"value".cast("decimal(18,2)").as("v"),
+            pmod($"event_id", lit(S.toLong)).as("salt"))
+        val dim = rd(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+          .withColumn("salt",
+            explode(lit((0L until S.toLong).toArray)))
+        fact.join(dim.hint("shuffle_hash"),
+            fact("user_id") === dim("c_custkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"v").cast("decimal(28,2)").cast("string").as("total_value"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

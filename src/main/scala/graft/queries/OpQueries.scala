@@ -980,7 +980,68 @@ object OpQueries {
              |SELECT rr.doc_id, CAST(row_idx AS BIGINT) AS row_idx,
              |  CAST(col_idx AS BIGINT) AS col_idx, txt
              |FROM rr JOIN xc ON rr.doc_id = xc.doc_id AND rr.x = xc.x
-             |ORDER BY rr.doc_id, row_idx, col_idx, txt""".stripMargin))
+             |ORDER BY rr.doc_id, row_idx, col_idx, txt""".stripMargin)),
+
+    // Multi-column READING ORDER from positioned spans (north star:
+    // "PDF/layout parse" — a two-column page read naively by y
+    // interleaves the columns; the linearizer must finish the left
+    // column before starting the right). Constructed pseudo-pages:
+    // 1 or 2 columns (doc_id % 2), 4-6 lines each, jitter on every
+    // coordinate an order of magnitude below the column gutter. The
+    // DuckDB oracle REPLAYS the same gap clustering + column-major sort
+    // with window functions, pinning the algorithm. Spark shape:
+    // row-local flatMap per document (Extract.readingOrder), no shuffle
+    // except the presentation sort.
+    "lt_reading_order" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.extract.Extract.PosSpan
+        rd(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .flatMap { id =>
+            val ncols = 1 + (id % 2).toInt
+            val nl = 4 + (id % 3).toInt
+            val spans = for {
+              c <- 0 until ncols
+              l <- 0 until nl
+            } yield PosSpan(
+              0.08 + c * 0.45 + ((id + c * 7 + l) % 10) * 0.003,
+              0.1 + l * 0.08 + ((id * 3 + l + c) % 10) * 0.002,
+              s"line_${c}_$l")
+            Extract.readingOrder(spans).map { case (ord, t) =>
+              (id, ord.toLong, t)
+            }
+          }
+          .toDF("doc_id", "ord", "txt")
+          .orderBy("doc_id", "ord")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS ncols, 4 + doc_id % 3 AS nl
+             |  FROM documents),
+             |spans AS (
+             |  SELECT doc_id,
+             |    0.08 + c * 0.45 + ((doc_id + c * 7 + l) % 10) * 0.003 AS x,
+             |    0.1 + l * 0.08 + ((doc_id * 3 + l + c) % 10) * 0.002 AS y,
+             |    'line_' || c || '_' || l AS txt
+             |  FROM base, generate_series(0, 1) AS gc(c),
+             |       generate_series(0, 5) AS gl(l)
+             |  WHERE c < ncols AND l < nl),
+             |xs AS (SELECT DISTINCT doc_id, x FROM spans),
+             |xk AS (
+             |  SELECT doc_id, x,
+             |    CASE WHEN x - lag(x) OVER (PARTITION BY doc_id ORDER BY x) > 0.3
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM xs),
+             |xc AS (
+             |  SELECT doc_id, x,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS col_idx
+             |  FROM xk)
+             |SELECT s.doc_id,
+             |  CAST(row_number() OVER (PARTITION BY s.doc_id
+             |    ORDER BY xc.col_idx, s.y, s.x, s.txt) - 1 AS BIGINT) AS ord,
+             |  s.txt
+             |FROM spans s JOIN xc ON s.doc_id = xc.doc_id AND s.x = xc.x
+             |ORDER BY s.doc_id, ord""".stripMargin))
   )
 
   /** Shared gate shape for the reference query banks: Spark runs the

@@ -1026,6 +1026,42 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 13 <> 0 END AS rate_ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL byte parsing arm #4 — JPEG/JFIF (reference analog: the Pillow
+    // verify path accepts .jpg next to .png —
+    // SearchingS3Buckets/S3LookThrough_Final.py:49-57). The payloads are
+    // real marker-segment streams (Multimodal.jpegBytes: JFIF APP0, a
+    // variable-size DQT so SOF never sits at a fixed offset, SOF0/SOF2)
+    // and the answer comes from JpegHeaderDecoder WALKING the segment
+    // chain — the walk itself is the integrity check (a corrupted APP0
+    // length desynchronizes it, the JPEG analog of PDF's startxref
+    // dereference). Same 100 TB shape as the other arms: batched
+    // mapPartitions, row-local, no shuffle but the presentation sort.
+    "mm_jpeg_header" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ids = rd(s, d, "documents").select($"doc_id")
+        val media = Multimodal.jpegMediaFrom(s, ids)
+        val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
+          decoder = Multimodal.JpegHeaderDecoder).toDF()
+        val soi = element_at($"features", 1) === 1.0
+        val walk = element_at($"features", 6) === 1.0
+        dec.select($"doc_id", soi.as("valid_soi"),
+            (soi && walk).as("sof_found"),
+            when(soi && walk, element_at($"features", 2).cast("int")).as("height"),
+            when(soi && walk, element_at($"features", 3).cast("int")).as("width"),
+            when(soi && walk, element_at($"features", 4).cast("int")).as("n_components"),
+            when(soi && walk, element_at($"features", 5) === 1.0).as("progressive"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  doc_id % 11 <> 0 AS valid_soi,
+             |  doc_id % 11 <> 0 AND doc_id % 13 <> 0 AS sof_found,
+             |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0 THEN CAST(1 + doc_id % 1080 AS INTEGER) END AS height,
+             |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0 THEN CAST(1 + doc_id % 1920 AS INTEGER) END AS width,
+             |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) END AS n_components,
+             |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0 THEN doc_id % 3 = 0 END AS progressive
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---------------- Text analysis ----------------
 
     "ta_langid" -> Entry(
@@ -1332,6 +1368,49 @@ object PipelineQueries {
               |  WHEN 2 THEN 'blog.example.net'
               |  ELSE 'api.service.io' END AS host
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // URL-keyed crawl dedup: canonicalize (scheme/host lowercase, default
+    // ports and tracking params stripped — the ta_url_normalize
+    // transform), keep the EARLIEST doc per canonical URL (crawl-order
+    // min doc_id), report survivors with their duplicate count — the
+    // first dedup stage of every web-corpus pipeline (run BEFORE content
+    // hashing: it needs no text comparison at all). Topology: row-local
+    // canonicalization then ONE hash agg keyed on canon_url — at 100 TB
+    // a single map-side-combined shuffle on the URL key, no window, no
+    // join. The query-string variants (same q= token, different
+    // tracking params) form the non-degenerate duplicate families.
+    "dd_url_dedup" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val m4 = pmod($"doc_id", lit(4))
+        val url = when(m4 === 0, concat(
+            lit("HTTPS://WWW.Example"), pmod($"doc_id", lit(7)).cast("string"),
+            lit(".COM:443/Products/Item/"), $"doc_id".cast("string"),
+            lit("/?utm_source=feed&ref=home#frag")))
+          .when(m4 === 1, concat(
+            lit("http://News.Site"), pmod($"doc_id", lit(5)).cast("string"),
+            lit(".org:80/articles/"), tok($"text", 1),
+            lit("?id="), $"doc_id".cast("string"),
+            lit("&utm_campaign=x&fbclid=abc")))
+          .when(m4 === 2, concat(
+            lit("https://blog.example.net/posts/"), $"doc_id".cast("string"), lit("/")))
+          .otherwise(concat(
+            lit("HTTP://API.Service.IO/v1/Query?q="), tok($"text", 1),
+            lit("&gclid=zzz&page=2")))
+        rd(s, d, "documents")
+          .select($"doc_id", urlCanon(url).as("canon_url"))
+          .groupBy($"canon_url")
+          .agg(min($"doc_id").as("keep_doc_id"),
+            count(lit(1)).as("n_dups"))
+          .orderBy($"canon_url")
+      },
+      Some(s"""SELECT CASE doc_id % 4
+              |  WHEN 0 THEN 'https://example'||CAST(doc_id % 7 AS VARCHAR)||'.com/Products/Item/'||CAST(doc_id AS VARCHAR)||'?ref=home'
+              |  WHEN 1 THEN 'http://news.site'||CAST(doc_id % 5 AS VARCHAR)||'.org/articles/'||$sqlTok1||'?id='||CAST(doc_id AS VARCHAR)
+              |  WHEN 2 THEN 'https://blog.example.net/posts/'||CAST(doc_id AS VARCHAR)
+              |  ELSE 'http://api.service.io/v1/Query?q='||$sqlTok1||'&page=2' END AS canon_url,
+              |  min(doc_id) AS keep_doc_id, count(*) AS n_dups
+              |FROM documents GROUP BY 1 ORDER BY canon_url""".stripMargin)),
 
     // sequence packing (concat-and-split): assign every doc its token
     // OFFSET in the per-source concatenated stream and the 2048-token

@@ -303,12 +303,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // feature passes: the only exchange allowed is the terminal
     // presentation sort (range partitioning for orderBy) — any hash
     // exchange means a join/agg crept into what must stay a scan+project.
-    for (q <- Seq("ta_url_normalize", "ta_gopher_rules", "ta_c4_filters")) {
+    for (q <- Seq("ta_url_normalize", "ta_gopher_rules", "ta_c4_filters",
+        "lt_reading_order", "mm_jpeg_header")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q plans a hash exchange:\n" + p.take(2000))
       assert(!p.contains("Join"), s"$q plans a join:\n" + p.take(2000))
     }
+  }
+
+  test("salted skew join: shuffled hash join keyed on (key, salt), no broadcast") {
+    // q_skew_salted_join exists to pin the explicit hot-key pattern: the
+    // join must be a ShuffledHashJoin (not a broadcast — at 100 TB the
+    // fanned dim doesn't broadcast, and a broadcast would bypass the very
+    // partitioning the salt creates) and the salt must be IN the join key
+    // so a hot user's rows spread across salt buckets.
+    val p = plan(graft.SparkEntry.queries("q_skew_salted_join")(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "salted join must not broadcast:\n" + p.take(2000))
+    // the formatted plan details the keys below the tree:
+    // "Left keys [2]: [user_id…, salt…]"
+    assert(p.matches("(?s).*keys \\[2\\]: \\[[^\\]]*salt[^\\]]*\\].*"),
+      "salt not part of the join key:\n" + p.take(4000))
   }
 
   test("exact-substring dedup is join-free: two capped hash exchanges, no product") {

@@ -72,4 +72,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(cells.map(_._1) === (0 until 5))
     assert(cells.map(_._2).distinct === Seq(0))
   }
+
+  test("reading order: two columns read column-major, not y-interleaved") {
+    // two columns whose lines ALTERNATE in y — naive y-order interleaves
+    // L0 R0 L1 R1…; reading order must finish the left column first
+    val spans = (0 until 3).flatMap(l => Seq(
+      PosSpan(0.1 + l * 0.002, 0.1 + l * 0.1, s"L$l"),
+      PosSpan(0.6 + l * 0.002, 0.15 + l * 0.1, s"R$l")))
+    val ord = graft.extract.Extract.readingOrder(spans)
+    assert(ord.map(_._2) === Seq("L0", "L1", "L2", "R0", "R1", "R2"))
+    assert(ord.map(_._1) === (0 until 6))
+  }
+
+  test("reading order: intra-column jitter below the gutter stays one column") {
+    val spans = (0 until 4).map(l => PosSpan(0.1 + (l % 2) * 0.05, l * 0.1, s"l$l"))
+    assert(graft.extract.Extract.readingOrder(spans).map(_._2) ===
+      Seq("l0", "l1", "l2", "l3"))
+    assert(graft.extract.Extract.readingOrder(Seq.empty) === Seq.empty)
+  }
 }

@@ -210,6 +210,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Multimodal.wavBytes(3L).take(30)))).head.features(0) == 0.0)
   }
 
+  test("jpeg header decoder really walks the marker chain: SOF fields, desync") {
+    for (id <- 0L to 200L) {
+      val f = Multimodal.JpegHeaderDecoder
+        .decodeBatch(Seq(Multimodal.MediaRow(id, "image/jpeg",
+          Multimodal.jpegBytes(id)))).head.features
+      if (id % 11 == 0) {
+        assert(f(0) == 0.0 && f(1) == -1.0, s"id=$id: bad SOI not detected")
+      } else if (id % 13 == 0) {
+        // corrupted APP0 length: SOI fine, walk desynchronized
+        assert(f(0) == 1.0 && f(5) == 0.0 && f(1) == -1.0,
+          s"id=$id: desync not caught ${f.toVector}")
+      } else {
+        assert(f(0) == 1.0 && f(5) == 1.0 &&
+          f(1) == (1 + id % 1080) && f(2) == (1 + id % 1920) &&
+          f(3) == (if (id % 2 == 0) 3 else 1) &&
+          f(4) == (if (id % 3 == 0) 1.0 else 0.0),
+          s"id=$id: bad fields ${f.toVector}")
+      }
+    }
+    // growing the DQT stub must MOVE the SOF and still be found — proves
+    // the offset is walked, not assumed (ids differing in % 4 shift it)
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val f = Multimodal.JpegHeaderDecoder
+        .decodeBatch(Seq(Multimodal.MediaRow(id, "image/jpeg",
+          Multimodal.jpegBytes(id)))).head.features
+      assert(f(5) == 1.0, s"id=$id: floating SOF not found")
+    }
+    // truncation mid-walk: no crash, SOF reported missing
+    val t = Multimodal.jpegBytes(1L).take(10)
+    val f = Multimodal.JpegHeaderDecoder
+      .decodeBatch(Seq(Multimodal.MediaRow(1L, "image/jpeg", t))).head.features
+    assert(f(0) == 1.0 && f(5) == 0.0)
+  }
+
   test("urlCanon: ports, www, fragment, tracking params, trailing slash") {
     import spark.implicits._
     val urls = Seq(
