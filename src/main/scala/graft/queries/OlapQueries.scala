@@ -241,6 +241,38 @@ object OlapQueries {
              |FROM ew JOIN f ON ew.user_id = f.user_id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Partial-aggregate MERGE (incremental rollup maintenance): daily
+    // partials (count + exact decimal sum per (day, event_type)) are
+    // computed in two independent increments — the append-only pattern
+    // where each day's batch aggregates once and HISTORY IS NEVER
+    // RESCANNED — then the monthly rollup re-aggregates the partial
+    // states (counts add, sums add). At 100 TB the increments are
+    // yesterday's partial table plus today's delta; this query pins that
+    // merging partials is EXACTLY equivalent to aggregating the raw
+    // events (the oracle computes the monthly rollup directly). Shape:
+    // two disjoint filtered aggs + one union + one tiny re-agg — the
+    // union'd partial frame is O(days × types), not O(events).
+    "q_incremental_agg_merge" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val ev = rd(s, d, "events")
+          .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+            dayofmonth($"ts").as("dom"), $"event_type",
+            $"value".cast("decimal(18,2)").as("v"))
+        def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+          .groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("pn"), sum($"v").as("pv"))
+        partial($"dom" <= 15).union(partial($"dom" > 15))
+          .groupBy(substring($"day", 1, 7).as("mon"), $"event_type")
+          .agg(sum($"pn").as("n_events"),
+            sum($"pv").cast("decimal(28,2)").cast("string").as("total_value"))
+          .orderBy($"mon", $"event_type")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m') AS mon, event_type,
+             |  count(*) AS n_events,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY mon, event_type""".stripMargin)),
+
     // z-score length outliers per source: moment sums (n, Σx, Σx²) as
     // exact BIGINTs through one bounded per-source agg, mean/std/z in a
     // pinned IEEE chain (sqrt is correctly rounded in both engines),

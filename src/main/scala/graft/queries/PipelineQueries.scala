@@ -1225,6 +1225,40 @@ object PipelineQueries {
              |                        THEN 1 END) AS DOUBLE) / count(*), 4) AS rate
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // STRATIFIED deterministic sampling: each source stratum gets its
+    // own rate (32/256 .. 208/256, derived arithmetically from the
+    // source id so the rates genuinely differ), selection is by
+    // content-hash threshold — the first two md5 hex digits compared
+    // LEXICOGRAPHICALLY against the stratum's threshold rendered as a
+    // 2-digit hex string (fixed-width lowercase hex orders like the
+    // number, and both engines emit lowercase md5 — no hex-to-int
+    // conversion to drift). Row-local keep decision, one audit agg per
+    // stratum; same 100 TB properties as ta_hash_sample (no RNG, no
+    // seed coordination, re-runs select identical rows) plus per-stratum
+    // rate control — the corpus-mix knob.
+    "ta_stratified_sample" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val srcNum = substring($"source", 4, 4).cast("int")
+        val thresh = lit(32) + pmod(srcNum, lit(12)) * 16
+        val thHex = lower(lpad(conv(thresh.cast("string"), 10, 16), 2, "0"))
+        val keep = substring(md5($"text"), 1, 2) < thHex
+        rd(s, d, "documents")
+          .groupBy($"source")
+          .agg(max(thresh).cast("long").as("thresh_of_256"),
+            count(lit(1)).as("n_total"),
+            count(when(keep, lit(1))).as("n_sampled"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (SELECT source, text,
+             |    32 + (CAST(substr(source, 4) AS INT) % 12) * 16 AS thresh
+             |  FROM documents)
+             |SELECT source, CAST(max(thresh) AS BIGINT) AS thresh_of_256,
+             |  count(*) AS n_total,
+             |  count(CASE WHEN substr(md5(text), 1, 2) < printf('%02x', thresh)
+             |             THEN 1 END) AS n_sampled
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
     // Target-mix rebalancing: downsample over-represented domains to a
     // uniform per-domain character budget (the SlimPajama/DoReMi mix step
     // that runs AFTER quality filtering and BEFORE packing: web gets cut

@@ -972,6 +972,51 @@ object TranscriptQueries {
               |       * 10000 / count(*)) AS BIGINT) AS novelty_pct
               |FROM toks t JOIN fs ON t.conv_id = fs.conv_id AND t.tok = fs.tok
               |GROUP BY t.conv_id, t.turn_idx
-              |ORDER BY t.conv_id, t.turn_idx""".stripMargin))
+              |ORDER BY t.conv_id, t.turn_idx""".stripMargin)),
+
+    // Assistant verbosity trend per conversation: the least-squares slope
+    // of reply length over turn index — drifting-verbosity conversations
+    // (an agent rambling longer and longer, or collapsing to one-liners)
+    // are a curation signal. The slope is emitted as an EXACT integer
+    // fraction (num = nΣxy − ΣxΣy, den = nΣx² − (Σx)², both BIGINT) so
+    // the oracle comparison is engine-exact — no regr_slope float drift.
+    // Topology: one map-side-combined agg keyed on conv_id; no window,
+    // no join. den > 0 whenever a conversation has ≥2 assistant turns
+    // (turn indices are distinct), so sign(num) is the trend.
+    "tr_verbosity_trend" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        transcripts(s, d)
+          .filter($"role" === "assistant")
+          .select($"conv_id", $"turn_idx".as("x"),
+            length($"text").cast("long").as("y"))
+          .groupBy($"conv_id")
+          .agg(count(lit(1)).as("n_pts"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .filter($"n_pts" >= 2)
+          .select($"conv_id", $"n_pts",
+            ($"n_pts" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+            ($"n_pts" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+          .withColumn("trend",
+            when($"slope_num" > 0, "up")
+              .when($"slope_num" < 0, "down").otherwise("flat"))
+          .orderBy($"conv_id")
+      },
+      Some(s"""WITH $sqlTranscripts,
+              |pts AS (SELECT conv_id, turn_idx AS x,
+              |    CAST(len(text) AS BIGINT) AS y FROM tr
+              |  WHERE role = 'assistant'),
+              |agg AS (SELECT conv_id, count(*) AS n_pts,
+              |    sum(x) AS sx, sum(y) AS sy,
+              |    sum(x * x) AS sxx, sum(x * y) AS sxy
+              |  FROM pts GROUP BY conv_id HAVING count(*) >= 2)
+              |SELECT conv_id, n_pts,
+              |  CAST(n_pts * sxy - sx * sy AS BIGINT) AS slope_num,
+              |  CAST(n_pts * sxx - sx * sx AS BIGINT) AS slope_den,
+              |  CASE WHEN n_pts * sxy - sx * sy > 0 THEN 'up'
+              |       WHEN n_pts * sxy - sx * sy < 0 THEN 'down'
+              |       ELSE 'flat' END AS trend
+              |FROM agg ORDER BY conv_id""".stripMargin))
   )
 }
