@@ -940,6 +940,38 @@ object Extract {
       .sortBy(t => (t._1, t._2, t._3))
   }
 
+  /** Anchored field-value SPANS: for every `Key: value` line, the
+    * ABSOLUTE character span (0-based start, length) of the space-trimmed
+    * value in the input text, plus the key and the covered text. This is
+    * the span-native form of the KV anchor pass (KV1-3): downstream
+    * consumers that must point back INTO the turn text (highlighting,
+    * redaction, provenance audits — the north rule's "extracted
+    * text/spans match per turn") get offsets instead of copies, and
+    * `text.substring(start, start+len)` recovers the value exactly.
+    * Space-only trimming on both ends of the value (matching SQL trim
+    * semantics); lines without a colon, with an empty key, or with an
+    * empty trimmed value emit nothing. Row-local — the 100 TB shape is a
+    * flatMap, no shuffle.
+    */
+  def anchorSpans(text: String): Seq[(String, Int, Int, String)] = {
+    val out = Seq.newBuilder[(String, Int, Int, String)]
+    var off = 0
+    for (line <- text.split("\n", -1)) {
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim
+        var s = c + 1
+        var e = line.length
+        while (s < e && line.charAt(s) == ' ') s += 1
+        while (e > s && line.charAt(e - 1) == ' ') e -= 1
+        if (key.nonEmpty && e > s)
+          out += ((key, off + s, e - s, line.substring(s, e)))
+      }
+      off += line.length + 1
+    }
+    out.result()
+  }
+
   /** Multi-column READING ORDER from positioned spans — the layout-parse
     * step between raw geometry and linear text (a PDF two-column page
     * must be read left column top-to-bottom, THEN right column; naive

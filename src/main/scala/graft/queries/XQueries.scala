@@ -293,6 +293,42 @@ object XQueries {
              |  ('PRESCRIPTION', 'ok', CAST(89 AS BIGINT), CAST(89.0 AS DOUBLE)),
              |  ('UNKNOWN', 'ok', CAST(173 AS BIGINT), CAST(0.0 AS DOUBLE))
              |) AS t(doc_type, status, n, sum_conf)
-             |ORDER BY doc_type, status""".stripMargin))
+             |ORDER BY doc_type, status""".stripMargin)),
+
+    // span-native extraction: absolute (start, len) character offsets of
+    // every anchored value back INTO the turn text (Extract.anchorSpans),
+    // plus a genuine round-trip check — `p.substring(start, start+len)`
+    // must recover the value exactly. The payload plants a no-colon line,
+    // an empty-value anchor, and an empty-key line (all must emit
+    // nothing); the oracle replays the offset arithmetic from the
+    // construction lengths. Row-local flatMap — no shuffle at 100 TB.
+    "x_extract_spans" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("Patient Name:  W"), tok($"text", 1),
+          lit("  \nno anchor here\nMRN: M"), $"doc_id".cast("string"),
+          lit("\nEmpty Value:   \n:nokey"))
+        rd(s, d, "documents").select($"doc_id".cast("long"), payload.as("p"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, p) =>
+            Extract.anchorSpans(p).map { case (k, st, ln, v) =>
+              (id, k, st.toLong, ln.toLong, v,
+                (p.substring(st, st + ln) == v).toString)
+            }
+          })
+          .toDF("doc_id", "k", "vstart", "vlen", "v", "roundtrip")
+          .orderBy($"doc_id", $"vstart")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, 'W'||string_split(text,' ')[1] AS v1 FROM documents)
+             |SELECT doc_id, k, vstart, vlen, v, 'true' AS roundtrip FROM (
+             |  SELECT doc_id, 'Patient Name' AS k, CAST(15 AS BIGINT) AS vstart,
+             |         CAST(len(v1) AS BIGINT) AS vlen, v1 AS v FROM src
+             |  UNION ALL
+             |  SELECT doc_id, 'MRN', CAST(38 + len(v1) AS BIGINT),
+             |         CAST(1 + len(CAST(doc_id AS VARCHAR)) AS BIGINT),
+             |         'M'||CAST(doc_id AS VARCHAR) FROM src)
+             |ORDER BY doc_id, vstart""".stripMargin))
   )
 }

@@ -42,6 +42,17 @@ class ExtractSpec extends AnyFunSuite {
     assert(kv.get("Provider").contains("X"))
   }
 
+  test("anchor spans: absolute offsets recover the value; degenerate lines emit nothing") {
+    val t = "Patient Name:  DOE, JANE  \nno anchor here\nMRN: M42\nEmpty:   \n:nokey\n : bad"
+    val spans = Extract.anchorSpans(t)
+    assert(spans.map(s => (s._1, s._4)) == Seq("Patient Name" -> "DOE, JANE", "MRN" -> "M42"))
+    for ((_, st, ln, v) <- spans) assert(t.substring(st, st + ln) == v)
+    assert(spans.head._2 == 15 && spans.head._3 == 9)
+    assert(Extract.anchorSpans("").isEmpty)
+    assert(Extract.anchorSpans("::").isEmpty) // first colon at index 0 -> no key
+    assert(Extract.anchorSpans("a:\nb:  ").isEmpty) // empty trimmed values
+  }
+
   test("facesheet bank extracts name/dob/phone and splits name") {
     val f = Extract.facesheetBank(
       "Patient Name: DOE, JANE\nPatient Date of Birth: 04/12/1987\nPatient Phone Number: (713) 555-0142")
