@@ -205,6 +205,20 @@ object TextFunctions {
       GraftColumnBridge.expression(text)))
   }
 
+  /** Unicode NFC canonicalization (native codegen'd; DuckDB-named). */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.NfcNormalizeExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** Accent fold: NFD + combining-mark removal (native codegen'd). */
+  def stripAccents(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.StripAccentsExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

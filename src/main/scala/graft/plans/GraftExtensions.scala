@@ -57,5 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(es.size == 2, "usage: cosine_sim(vec_a, vec_b)")
         CosineSimExpr(es(0), es(1))
       }))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", classOf[NfcNormalizeExpr]),
+      (es: Seq[Expression]) => {
+        require(es.size == 1, "usage: nfc_normalize(text)")
+        NfcNormalizeExpr(es.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents", classOf[StripAccentsExpr]),
+      (es: Seq[Expression]) => {
+        require(es.size == 1, "usage: strip_accents(text)")
+        StripAccentsExpr(es.head)
+      }))
   }
 }

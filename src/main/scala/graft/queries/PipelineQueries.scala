@@ -2382,6 +2382,80 @@ object PipelineQueries {
            |FROM p ORDER BY doc_id""".stripMargin
       }),
 
+    // Unicode NFC canonicalization (native codegen'd NfcNormalizeExpr):
+    // web text mixes decomposed combining sequences, precomposed chars,
+    // and compatibility singletons (U+212B angstrom) for the same glyph —
+    // every hash/dedup/token stage downstream sees spurious distinctions
+    // until the corpus is NFC-canonical, which is why it's the first
+    // cleanup pass of CCNet/ftfy-style pipelines. Payload plants a
+    // decomposed e+U+0301, a precomposed é, the Å singleton (a
+    // length-PRESERVING change), and clean ASCII; the oracle is DuckDB's
+    // own nfc_normalize — two independent implementations of the Unicode
+    // algorithm agreeing byte-for-byte. Row-local scan, shuffle-free; the
+    // already-NFC fast path returns the input buffer without allocation.
+    "ta_unicode_nfc" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        // explicit escapes, not raw glyphs: case 0 MUST stay the
+        // DECOMPOSED e+U+0301 and case 2 the U+212B singleton — a
+        // toolchain normalizing raw source glyphs would silently
+        // degenerate the test
+        val planted = when($"doc_id" % 4 === 0, lit("cafe\u0301 menu"))
+          .when($"doc_id" % 4 === 1, lit("caf\u00e9 menu"))
+          .when($"doc_id" % 4 === 2, lit("\u212Bngstr\u00f6m unit"))
+          .otherwise(lit("plain ascii"))
+        val p = concat($"text", lit(" "), planted)
+        rd(s, d, "documents")
+          .select($"doc_id", p.as("p"))
+          .select($"doc_id", nfcNormalize($"p").as("normalized"),
+            (nfcNormalize($"p") =!= $"p").as("changed"),
+            length($"p").cast("long").as("n_before"),
+            length(nfcNormalize($"p")).cast("long").as("n_after"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, text || ' ' || CASE doc_id % 4
+             |    WHEN 0 THEN 'cafe' || chr(769) || ' menu'
+             |    WHEN 1 THEN 'caf' || chr(233) || ' menu'
+             |    WHEN 2 THEN chr(8491) || 'ngstr' || chr(246) || 'm unit'
+             |    ELSE 'plain ascii' END AS p FROM documents)
+             |SELECT doc_id, nfc_normalize(p) AS normalized,
+             |  nfc_normalize(p) <> p AS changed,
+             |  CAST(len(p) AS BIGINT) AS n_before,
+             |  CAST(len(nfc_normalize(p)) AS BIGINT) AS n_after
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Accent folding (NFD + combining-mark strip, native codegen'd
+    // StripAccentsExpr): 'café' and 'cafe' must collide for key
+    // canonicalization and fuzzy lookup — the match-normalization pass
+    // that NFC deliberately does NOT perform. Inputs are precomposed
+    // (the common wire form); the oracle is DuckDB's independent
+    // strip_accents. Row-local, shuffle-free, ASCII passes through by
+    // reference equality.
+    "ta_strip_accents" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val planted = when($"doc_id" % 5 === 0, lit("caf\u00e9"))
+          .when($"doc_id" % 5 === 1, lit("na\u00efve"))
+          .when($"doc_id" % 5 === 2, lit("Se\u00f1or Z\u00fcrich"))
+          .when($"doc_id" % 5 === 3, lit("r\u00e9sum\u00e9 cr\u00e8me"))
+          .otherwise(lit("plain ascii"))
+        val p = concat($"text", lit(" "), planted)
+        rd(s, d, "documents")
+          .select($"doc_id", p.as("p"))
+          .select($"doc_id", stripAccents($"p").as("folded"),
+            (stripAccents($"p") =!= $"p").as("changed"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, text || ' ' || CASE doc_id % 5
+             |    WHEN 0 THEN 'caf' || chr(233)
+             |    WHEN 1 THEN 'na' || chr(239) || 've'
+             |    WHEN 2 THEN 'Se' || chr(241) || 'or Z' || chr(252) || 'rich'
+             |    WHEN 3 THEN 'r' || chr(233) || 'sum' || chr(233) || ' cr' || chr(232) || 'me'
+             |    ELSE 'plain ascii' END AS p FROM documents)
+             |SELECT doc_id, strip_accents(p) AS folded,
+             |  strip_accents(p) <> p AS changed
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // Quality-ranked selection under a token budget — "fill 1/3 of the
     // corpus's tokens with the best documents". NOT a global sort-and-
     // running-sum (a single global window is the anti-pattern at 10^12
