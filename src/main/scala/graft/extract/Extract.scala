@@ -972,6 +972,33 @@ object Extract {
     out.result()
   }
 
+  /** Merge overlapping-or-touching [start, end) spans into disjoint
+    * intervals — the overlap-resolution step downstream of every
+    * span producer ([[anchorSpans]], [[segment]], layout boxes, PII
+    * match ranges): independent extractors emit ranges over the same
+    * text, and consumers (redaction splicing, highlight rendering,
+    * coverage accounting) need them disjoint. Classic sweep: sort by
+    * (start, end), fold with a running max-end; a span starting
+    * strictly after the running end opens a new interval (touching
+    * spans merge — redacting [5,10) and [10,15) is one cut). Returns
+    * (start, end, count-of-source-spans) per merged interval.
+    * Row-local per document — the 100 TB shape is a flatMap, no
+    * shuffle; cost O(k log k) in the per-doc span count.
+    */
+  def mergeSpans(spans: Seq[(Int, Int)]): Seq[(Int, Int, Int)] = {
+    if (spans.isEmpty) return Seq.empty
+    val sorted = spans.sortBy(identity)
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var (cs, ce) = sorted.head
+    var n = 1
+    for ((s, e) <- sorted.tail) {
+      if (s <= ce) { if (e > ce) ce = e; n += 1 }
+      else { out += ((cs, ce, n)); cs = s; ce = e; n = 1 }
+    }
+    out += ((cs, ce, n))
+    out.result()
+  }
+
   /** Multi-column READING ORDER from positioned spans — the layout-parse
     * step between raw geometry and linear text (a PDF two-column page
     * must be read left column top-to-bottom, THEN right column; naive

@@ -1041,7 +1041,55 @@ object OpQueries {
              |    ORDER BY xc.col_idx, s.y, s.x, s.txt) - 1 AS BIGINT) AS ord,
              |  s.txt
              |FROM spans s JOIN xc ON s.doc_id = xc.doc_id AND s.x = xc.x
-             |ORDER BY s.doc_id, ord""".stripMargin))
+             |ORDER BY s.doc_id, ord""".stripMargin)),
+
+    // Overlapping-span merge (Extract.mergeSpans): independent span
+    // producers (anchors, PII matches, layout boxes) emit ranges over
+    // the same text; redaction/highlight/coverage consumers need them
+    // disjoint. Five planted spans per doc exercise containment
+    // ((12,14) inside (10,20) — the running-max case), a doc_id-moving
+    // span that overlaps (m<5) / touches (m=5, merges) / separates
+    // (m>5) from the first island, and an always-overlapping tail
+    // pair. The oracle replays the SAME sweep as SQL gaps-and-islands
+    // (break iff start > running max(end)), pinning the algorithm, not
+    // just the answer. Row-local flatMap — no shuffle at 100 TB.
+    "lt_span_merge" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val m = (id % 10).toInt
+            val spans =
+              Seq((10, 20), (12, 14), (15 + m, 35 + m), (50, 60), (58, 70))
+            Extract.mergeSpans(spans).zipWithIndex.map {
+              case ((st, en, n), i) =>
+                (id, i.toLong, st.toLong, en.toLong, n.toLong)
+            }
+          })
+          .toDF("doc_id", "merge_idx", "m_start", "m_end", "n_src")
+          .orderBy($"doc_id", $"merge_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id % 10 AS m FROM documents),
+             |sp AS (
+             |  SELECT doc_id, 10 AS s, 20 AS e FROM b
+             |  UNION ALL SELECT doc_id, 12, 14 FROM b
+             |  UNION ALL SELECT doc_id, 15 + m, 35 + m FROM b
+             |  UNION ALL SELECT doc_id, 50, 60 FROM b
+             |  UNION ALL SELECT doc_id, 58, 70 FROM b),
+             |o AS (SELECT doc_id, s, e,
+             |  CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM sp),
+             |g AS (SELECT doc_id, s, e,
+             |  sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             |    ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM o)
+             |SELECT doc_id, CAST(grp AS BIGINT) AS merge_idx,
+             |  CAST(min(s) AS BIGINT) AS m_start,
+             |  CAST(max(e) AS BIGINT) AS m_end, count(*) AS n_src
+             |FROM g GROUP BY doc_id, grp
+             |ORDER BY doc_id, merge_idx""".stripMargin))
   )
 
   /** Shared gate shape for the reference query banks: Spark runs the
