@@ -90,4 +90,38 @@ class LayoutSpec extends AnyFunSuite {
       Seq("l0", "l1", "l2", "l3"))
     assert(graft.extract.Extract.readingOrder(Seq.empty) === Seq.empty)
   }
+
+  import graft.extract.Extract.mergeSpans
+
+  test("mergeSpans: overlap chain and contained span collapse to one interval") {
+    assert(mergeSpans(Seq((10, 20), (12, 14), (15, 35))) === Seq((10, 35, 3)))
+  }
+
+  test("mergeSpans: touching spans merge (end == next start)") {
+    assert(mergeSpans(Seq((5, 10), (10, 15))) === Seq((5, 15, 2)))
+  }
+
+  test("mergeSpans: a one-unit gap keeps spans disjoint") {
+    assert(mergeSpans(Seq((5, 10), (11, 15))) ===
+      Seq((5, 10, 1), (11, 15, 1)))
+  }
+
+  test("mergeSpans: unsorted input is sorted before sweeping") {
+    assert(mergeSpans(Seq((50, 60), (10, 20), (58, 70), (12, 14))) ===
+      Seq((10, 20, 2), (50, 70, 2)))
+  }
+
+  test("mergeSpans: duplicate spans count as distinct sources") {
+    assert(mergeSpans(Seq((3, 7), (3, 7))) === Seq((3, 7, 2)))
+  }
+
+  test("mergeSpans: a span containing everything absorbs all followers") {
+    assert(mergeSpans(Seq((1, 100), (2, 3), (4, 5), (98, 99))) ===
+      Seq((1, 100, 4)))
+  }
+
+  test("mergeSpans: empty and singleton inputs") {
+    assert(mergeSpans(Nil) === Seq.empty)
+    assert(mergeSpans(Seq((7, 8))) === Seq((7, 8, 1)))
+  }
 }
