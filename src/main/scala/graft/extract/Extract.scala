@@ -999,6 +999,45 @@ object Extract {
     out.result()
   }
 
+  // Offset-emitting PII detectors — the span-producing counterpart of
+  // TextFunctions.redactPii (which rewrites in place and so can't feed
+  // downstream span consumers). Four INDEPENDENT detectors whose matches
+  // legitimately overlap (the generic digit-run fires inside a phone or
+  // SSN match), which is exactly why mergeSpans sits between detection
+  // and splicing.
+  private val piiEmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[a-z]{2,}".r
+  private val piiPhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}".r
+  private val piiSsnRe = "\\d{3}-\\d{2}-\\d{4}".r
+  private val piiDigitRunRe = "\\d{4,}".r
+
+  /** All PII match ranges [start, end) over `text`, one entry per raw
+    * detector hit (unmerged — feed through [[mergeSpans]]). Row-local;
+    * the 100 TB shape is a map inside the extract stage, no shuffle.
+    */
+  def piiSpans(text: String): Seq[(Int, Int)] =
+    Seq(piiEmailRe, piiPhoneRe, piiSsnRe, piiDigitRunRe).flatMap(
+      _.findAllMatchIn(text).map(m => (m.start, m.end)).toList)
+
+  /** Splice merged spans OUT of `text`: keep everything outside the
+    * disjoint [start, end) intervals, writing `marker(count)` in place
+    * of each — the redaction step downstream of [[piiSpans]] +
+    * [[mergeSpans]]. Requires the intervals disjoint and sorted (what
+    * mergeSpans emits); a marker carrying the source-hit count keeps
+    * the cut auditable without retaining the cut text.
+    */
+  def spliceSpans(text: String, merged: Seq[(Int, Int, Int)],
+      marker: Int => String): String = {
+    // java.lang.StringBuilder for the (CharSequence, from, to) append —
+    // scala's StringBuilder would auto-tuple the 3-arg call into append(Any)
+    val sb = new java.lang.StringBuilder(text.length)
+    var pos = 0
+    for ((s, e, n) <- merged) {
+      sb.append(text, pos, s).append(marker(n))
+      pos = e
+    }
+    sb.append(text, pos, text.length).toString
+  }
+
   /** Multi-column READING ORDER from positioned spans — the layout-parse
     * step between raw geometry and linear text (a PDF two-column page
     * must be read left column top-to-bottom, THEN right column; naive

@@ -1089,7 +1089,57 @@ object OpQueries {
              |  CAST(min(s) AS BIGINT) AS m_start,
              |  CAST(max(e) AS BIGINT) AS m_end, count(*) AS n_src
              |FROM g GROUP BY doc_id, grp
-             |ORDER BY doc_id, merge_idx""".stripMargin))
+             |ORDER BY doc_id, merge_idx""".stripMargin)),
+
+    // Span-based PII redaction — the full detect → merge → splice chain
+    // (vs ta_redact_pii's in-place regexp_replace, which can't report
+    // WHAT was cut): Extract.piiSpans runs four INDEPENDENT offset
+    // detectors whose hits overlap by construction (the generic ≥4-digit
+    // run fires INSIDE the planted phone suffix and inside the SSN
+    // tail), mergeSpans resolves the overlaps, spliceSpans cuts each
+    // disjoint interval to an auditable [PII:n-hits] marker. The oracle
+    // emits the constructed redacted string with NO regex, plus the
+    // expected raw-hit/merged-interval/cut-char counts (email 23 +
+    // phone 14 + ssn 11 = 48 chars cut per row by construction) — the
+    // hash match proves the detectors fired exactly on the planted
+    // values, the overlaps merged, and the splice preserved every
+    // surrounding byte. Tokens are stripped to [a-z] on both sides so
+    // corpus text can never feed the detectors; the email's local-part
+    // digits stay 2-wide (doc_id%90+10) so the digit-run detector
+    // cannot reach inside the email span. Row-local flatMap — no
+    // shuffle at 100 TB.
+    "ta_redact_span_splice" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val payload = concat(
+          lit("intro "), regexp_replace(tok($"text", 1), "[^a-z]", ""),
+          lit(" email user"),
+          (pmod($"doc_id", lit(90)) + lit(10)).cast("string"),
+          lit("@mail.example.org mid phone ("),
+          (lit(200) + pmod($"doc_id", lit(700))).cast("string"),
+          lit(") 555-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+          lit(" words "), regexp_replace(tok($"text", 2), "[^a-z]", ""),
+          lit(" ssn "),
+          lpad(pmod($"doc_id", lit(900)).cast("string"), 3, "0"),
+          lit("-45-6789 outro"))
+        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            val raw = Extract.piiSpans(p)
+            val merged = Extract.mergeSpans(raw)
+            val redacted = Extract.spliceSpans(p, merged, n => s"[PII:$n]")
+            val cut = merged.map { case (st, en, _) => en - st }.sum
+            (id, redacted, raw.size.toLong, merged.size.toLong, cut.toLong)
+          })
+          .toDF("doc_id", "redacted", "n_raw", "n_merged", "cut_chars")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  'intro '||regexp_replace($sqlTok1, '[^a-z]', '', 'g')||' email [PII:1] mid phone [PII:2] words '||regexp_replace($sqlTok2, '[^a-z]', '', 'g')||' ssn [PII:2] outro' AS redacted,
+              |  CAST(5 AS BIGINT) AS n_raw, CAST(3 AS BIGINT) AS n_merged,
+              |  CAST(48 AS BIGINT) AS cut_chars
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared gate shape for the reference query banks: Spark runs the

@@ -209,5 +209,24 @@ class ExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("piiSpans finds overlapping hits; merge+splice redacts them once") {
+    val text = "mail a.b@x.org tel (212) 555-0199 ssn 123-45-6789 end"
+    val raw = Extract.piiSpans(text)
+    // email, phone, ssn, plus digit runs INSIDE phone (0199) and ssn (6789)
+    assert(raw.size === 5)
+    val merged = Extract.mergeSpans(raw)
+    assert(merged.map(_._3) === Seq(1, 2, 2))
+    assert(Extract.spliceSpans(text, merged, n => s"[$n]") ===
+      "mail [1] tel [2] ssn [2] end")
+  }
+
+  test("spliceSpans handles spans at the string boundaries and no spans") {
+    assert(Extract.spliceSpans("abcdef", Seq((0, 2, 1)), _ => "*") === "*cdef")
+    assert(Extract.spliceSpans("abcdef", Seq((4, 6, 1)), _ => "*") === "abcd*")
+    assert(Extract.spliceSpans("abcdef", Seq((0, 6, 3)), _ => "*") === "*")
+    assert(Extract.spliceSpans("abcdef", Nil, _ => "*") === "abcdef")
+    assert(Extract.piiSpans("no pii here at all") === Seq.empty)
+  }
+
   private def testRng() = new graft.gen.Rng(1234L)
 }
