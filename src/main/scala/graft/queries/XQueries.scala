@@ -329,6 +329,58 @@ object XQueries {
              |  SELECT doc_id, 'MRN', CAST(38 + len(v1) AS BIGINT),
              |         CAST(1 + len(CAST(doc_id AS VARCHAR)) AS BIGINT),
              |         'M'||CAST(doc_id AS VARCHAR) FROM src)
-             |ORDER BY doc_id, vstart""".stripMargin))
+             |ORDER BY doc_id, vstart""".stripMargin)),
+
+    // Typed-JSON-struct recovery (north star: "emitting typed JSON
+    // structs via Catalyst UDF-free expressions"): the extractor's
+    // per-doc JSON payload (K2) parsed BACK into typed columns with
+    // `from_json` — the codegen'd JsonToStructs expression, zero UDFs —
+    // in BOTH schema modes a downstream consumer uses: an explicit
+    // StructType (typed lane: fields by name, MRN cast to BIGINT) and a
+    // MapType(string,string) (dynamic lane: field count without a
+    // schema). The deliberately-unanswerable bank query surfaces as ''
+    // (present-but-empty in the JSON, so the map counts it and the
+    // struct yields the empty string, not null). Oracle emits the
+    // constructed ground truth — the hash match proves extract → JSON →
+    // typed parse round-trips losslessly. Row-local scan shape; no
+    // shuffle at 100 TB.
+    "x_json_typed_struct" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
+        val payload = concat(
+          lit("Patient Name: "), upper(tok($"text", 1)), lit(", "), upper(tok($"text", 2)),
+          lit("\nMRN: "), (lit(1000000) + $"doc_id").cast("string"),
+          lit("\nEncounter Date: "), dateCol($"doc_id"))
+        val bank = Seq("What is the Patient Name?", "What is the MRN?",
+          "What is the Encounter Date?", "What is the Patient Address?")
+        val js = rd(s, d, "documents")
+          .select(col("doc_id").cast("long"), payload.as("p"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            (id, Extract.fieldsToJson(Extract.queryBank(bank, p)))
+          })
+          .toDF("doc_id", "js")
+        val typed = StructType(Seq(
+          StructField("MRN", StringType),
+          StructField("Patient Name", StringType),
+          StructField("Encounter Date", StringType),
+          StructField("Patient Address", StringType)))
+        js.select($"doc_id",
+            from_json($"js", typed).as("st"),
+            from_json($"js", MapType(StringType, StringType)).as("m"))
+          .select($"doc_id",
+            $"st".getField("MRN").cast("long").as("mrn"),
+            $"st".getField("Patient Name").as("pname"),
+            $"st".getField("Encounter Date").as("enc_date"),
+            $"st".getField("Patient Address").as("addr"),
+            size($"m").cast("long").as("n_fields"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(1000000 + doc_id AS BIGINT) AS mrn,
+              |  upper($sqlTok1)||', '||upper($sqlTok2) AS pname,
+              |  $sqlDate AS enc_date, '' AS addr,
+              |  CAST(4 AS BIGINT) AS n_fields
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
