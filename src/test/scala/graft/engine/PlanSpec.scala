@@ -505,4 +505,53 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val salted = plan(ExtractJob.extract(spark, turns, salted = true, 4).toDF())
     assert("Exchange".r.findAllIn(salted).size >= 1)
   }
+
+  test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
+    // The north rule names AQE skew-join splitting as the runtime
+    // backstop when a key hot enough to straggle reaches a shuffle join
+    // (the PLANNED paths avoid this — bucketing, salting, broadcast —
+    // but unknown-layout inputs can still hit it). Enabling the flag is
+    // not evidence; this constructs a join whose hot key holds 90% of
+    // the fact side, executes it, and asserts Spark's OptimizeSkewedJoin
+    // actually SPLIT the skewed partition (isSkewJoin on the executed
+    // SMJ), with the join result still exact.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ, no broadcast escape
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // pad must be row-DERIVED (a literal would constant-fold above the
+      // join and never ride the shuffle) and high-entropy (18k identical
+      // longs compress below any skew threshold)
+      val fact = spark.range(0, 20000)
+        .select(when($"id" < 18000, lit(0L)).otherwise($"id" % 97).as("k"),
+          repeat(md5($"id".cast("string")), 4).as("pad"))
+      val dim = spark.range(0, 97).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // execute THIS plan (count() would plan a separate pad-pruned query
+      // whose shuffle never gets heavy, and would leave joined's own
+      // adaptive plan unexecuted → no runtime stats → no skew decision)
+      assert(joined.collect().length === 20000)
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no adaptive plan — AQE disabled?"))
+      // string-match the finalized tree: query stages are leaf nodes in
+      // Spark 4, so a typed collect cannot descend into ResultQueryStage
+      val p = adaptive.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "join did not execute as SMJ:\n" + p.take(2000))
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        "OptimizeSkewedJoin did not split the hot partition:\n" + p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

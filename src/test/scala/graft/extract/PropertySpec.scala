@@ -45,6 +45,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSpans invariants: disjoint, sorted, coverage- and count-preserving") {
+    val spanGen = Gen.listOf(for {
+      s <- Gen.choose(0, 500)
+      len <- Gen.choose(1, 60)
+    } yield (s, s + len))
+    for (i <- 1 to 300; spans <- spanGen.apply(Gen.Parameters.default, Seed(i.toLong))) {
+      val merged = Extract.mergeSpans(spans)
+      // disjoint with real gaps, sorted, each interval non-empty
+      merged.sliding(2).foreach {
+        case Seq((_, e1, _), (s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+      merged.foreach { case (s, e, n) => assert(s < e && n >= 1) }
+      // every source span lands inside exactly one merged interval
+      assert(merged.map(_._3).sum === spans.size)
+      spans.foreach { case (s, e) =>
+        assert(merged.count { case (ms, me, _) => ms <= s && e <= me } === 1)
+      }
+      // merged coverage equals the union of the inputs, point for point
+      val covered = merged.flatMap { case (s, e, _) => s until e }.toSet
+      assert(covered === spans.flatMap { case (s, e) => s until e }.toSet)
+    }
+  }
+
   test("key normalization is idempotent") {
     for (k <- (1 to 300).flatMap(i =>
         Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(i.toLong)))) {
