@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink FORMAT coverage beyond parquet: JSONL and CSV, the two
@@ -152,7 +152,58 @@ object SourceQueries {
       Some("""SELECT bucket, count(*) AS n FROM (
              |  SELECT CASE WHEN doc_id % 9 = 4 THEN '_corrupt' ELSE source END AS bucket
              |  FROM documents)
-             |GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Z-order (Morton) clustering key — the multi-dimensional data-
+    // skipping layout (Delta OPTIMIZE ZORDER / Iceberg sort orders): a
+    // table range-sorted by the bit-interleave of two dimensions gives
+    // every file TIGHT min/max bounds on BOTH dims, so a 2-D box
+    // predicate prunes files on either axis (a plain sort on x leaves y
+    // unbounded per file). Both engines compute the identical 16-term
+    // interleave of two 8-bit dims (pure shift/mask arithmetic,
+    // codegen'd — no UDF), then group by the 64-code z-prefix tile
+    // (z >> 6). The Morton property under test: an aligned 64-code
+    // range is EXACTLY an 8x8 spatial tile, so every tile's bounds must
+    // satisfy max-min <= 7 on both dims — the `tight` column the oracle
+    // hash-verifies is the data-skipping guarantee itself. At 100 TB
+    // the layout path is repartitionByRange(z) + sortWithinPartitions
+    // (parallel range sort, no single-task total order); this entry
+    // pins the key math and the bound; src_partitioned_pruning /
+    // PlanSpec pin the scan-pruning mechanics.
+    "src_zorder_tiles" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        def inter(c: Column, off: Int): Column =
+          (0 until 8).map(b =>
+            shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), 2 * b + off))
+            .reduce(_ bitwiseOR _)
+        val dims = rd(s, d, "documents").select(
+          pmod($"doc_id" * 7, lit(256)).as("x"),
+          pmod($"doc_id" * 13, lit(256)).as("y"))
+        dims.select($"x", $"y",
+            (inter($"x", 0) bitwiseOR inter($"y", 1)).as("z"))
+          .groupBy(shiftright($"z", 6).as("tile"))
+          .agg(count(lit(1)).as("n"),
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"))
+          .select($"tile", $"n", $"min_x", $"max_x", $"min_y", $"max_y",
+            ($"max_x" - $"min_x" <= 7 && $"max_y" - $"min_y" <= 7)
+              .cast("string").as("tight"))
+          .orderBy($"tile")
+      },
+      Some {
+        val z = (0 until 8).map(b =>
+          s"(((x>>$b)&1)<<${2 * b}) | (((y>>$b)&1)<<${2 * b + 1})")
+          .mkString(" | ")
+        s"""WITH dims AS (
+           |  SELECT (doc_id*7)%256 AS x, (doc_id*13)%256 AS y FROM documents),
+           |zc AS (SELECT x, y, ($z) AS z FROM dims)
+           |SELECT z>>6 AS tile, count(*) AS n,
+           |  min(x) AS min_x, max(x) AS max_x,
+           |  min(y) AS min_y, max(y) AS max_y,
+           |  CAST(max(x)-min(x) <= 7 AND max(y)-min(y) <= 7 AS VARCHAR) AS tight
+           |FROM zc GROUP BY tile ORDER BY tile""".stripMargin
+      })
   )
 
   /** The partitioned-layout frame for PlanSpec's pruning assertion:
