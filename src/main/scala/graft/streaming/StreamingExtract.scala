@@ -215,4 +215,29 @@ object StreamingExtract {
       key: String = "conv_id"): DataFrame =
     turns.join(org.apache.spark.sql.functions.broadcast(dim),
       Seq(key), "left")
+
+  /** Stream-STREAM interval join: pair each turn with the reaction
+    * events landing in its conversation within [ts, ts + horizon] —
+    * the feedback-attribution join (user thumbs-up/retry signals
+    * attributed to the assistant turns they respond to) when BOTH
+    * sides are unbounded streams, so neither can be broadcast or
+    * collected. The watermarks on both sides are what BOUND the join
+    * state: Spark buffers each side's rows only until the other side's
+    * watermark clears the interval, then evicts — without them a
+    * stream-stream join buffers forever. The conv_id equi-key keeps it
+    * a hash-partitioned join on both sides (co-partitioned exchange,
+    * no broadcast of an unbounded side); the time bound prunes within
+    * the matched key. Inner matches emit as soon as found — only state
+    * EVICTION waits on the watermark.
+    */
+  def joinReactions(turns: DataFrame, reactions: DataFrame,
+      horizonMin: Int = 5, delay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val t = turns.withWatermark("ts", delay)
+    val r = reactions.withColumnRenamed("conv_id", "r_conv_id")
+      .withWatermark("ets", delay)
+    t.join(r, expr(
+        s"conv_id = r_conv_id AND ets >= ts AND ets <= ts + interval $horizonMin minutes"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("ets"), col("kind"))
+  }
 }

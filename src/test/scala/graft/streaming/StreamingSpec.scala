@@ -211,4 +211,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unmatched conversations survive the LEFT join with a null tier
     assert(want.exists(_._3.isEmpty) && want.exists(_._3.nonEmpty))
   }
+
+  test("stream-stream interval join matches the batch join across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val turnsIn = MemoryStream[Turn]
+    val reactsIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val turns = TranscriptGen.turns(6, 8).toVector
+    // per conversation: one reaction 2 min after its turn-3 ts (inside
+    // the 5 min horizon of turns ending at ts..ts+5m) and one past the
+    // LAST turn of the whole corpus plus the horizon, so it matches
+    // nothing and must not appear in the output
+    val deadEts = turns.map(_.ts.getTime).max + 6 * 60000L
+    val reacts = turns.filter(_.turn_idx == 3).flatMap { t =>
+      Seq((t.conv_id, new java.sql.Timestamp(t.ts.getTime + 2 * 60000L), "up"),
+        (t.conv_id, new java.sql.Timestamp(deadEts), "late"))
+    }
+    // a wide watermark delay isolates PARITY from eviction: with 10 min
+    // delay the reactions fed ahead of their turns would be legitimately
+    // evicted before the turns arrive (the state-bound behavior the
+    // dedup/sessionize tests pin); here every buffered row must survive
+    // the interleave so the output can equal the batch join exactly
+    val joined = StreamingExtract.joinReactions(
+      turnsIn.toDF(),
+      reactsIn.toDF.withColumnsRenamed(
+        Map("_1" -> "conv_id", "_2" -> "ets", "_3" -> "kind")),
+      delay = "120 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ssj").toString)
+      .start()
+    // interleave the two sides across micro-batches: reactions for the
+    // first half arrive BEFORE their turns do (the join must buffer)
+    val cut = turns.length / 2
+    reactsIn.addData(reacts.take(reacts.length / 2))
+    q.processAllAvailable()
+    turnsIn.addData(turns.take(cut))
+    q.processAllAvailable()
+    turnsIn.addData(turns.drop(cut))
+    reactsIn.addData(reacts.drop(reacts.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_out")
+      .select($"conv_id", $"turn_idx", $"kind")
+      .as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toVector
+    // batch oracle: the same equi+interval condition over the full inputs
+    val want = (for {
+      t <- turns
+      (cid, ets, kind) <- reacts
+      if cid == t.conv_id
+      if ets.getTime >= t.ts.getTime && ets.getTime <= t.ts.getTime + 5 * 60000L
+    } yield (t.conv_id, t.turn_idx, kind)).sortBy(r => (r._1, r._2, r._3))
+    assert(got == want)
+    assert(want.nonEmpty && !want.exists(_._3 == "late"),
+      "horizon bound leaked the +20 min reaction")
+  }
 }
