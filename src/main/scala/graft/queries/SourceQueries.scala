@@ -203,7 +203,61 @@ object SourceQueries {
            |  min(y) AS min_y, max(y) AS max_y,
            |  CAST(max(x)-min(x) <= 7 AND max(y)-min(y) <= 7 AS VARCHAR) AS tight
            |FROM zc GROUP BY tile ORDER BY tile""".stripMargin
-      })
+      }),
+
+    // Table-statistics collection (ANALYZE TABLE ... COMPUTE STATISTICS
+    // FOR COLUMNS analog) — the stats job that feeds a cost-based
+    // optimizer and partition planner: per-column distinct count, null
+    // count, min/max, plus the table row count, in ONE scan (a single
+    // aggregate; the multi-distinct is one Expand over that scan —
+    // Spark's grouping-sets machinery — then stack() pivots the wide
+    // stats row into per-column rows driver-side-free). The oracle's
+    // 3-scan UNION is just the oracle; the engine never rescans. At
+    // 100 TB the exact count(DISTINCT) re-keys the corpus by value —
+    // the production swap is approx_count_distinct (HLL, one pass, no
+    // Expand; sk_hll_distinct carries that sketch's own oracle-gated
+    // math); exact here is what makes the gate hashable.
+    "src_table_stats" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "documents").agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct($"lang").as("lang_ndv"),
+            (count(lit(1)) - count($"lang")).as("lang_null"),
+            min($"lang").cast("string").as("lang_min"),
+            max($"lang").cast("string").as("lang_max"),
+            countDistinct($"source").as("src_ndv"),
+            (count(lit(1)) - count($"source")).as("src_null"),
+            min($"source").cast("string").as("src_min"),
+            max($"source").cast("string").as("src_max"),
+            countDistinct($"n_chars").as("nch_ndv"),
+            (count(lit(1)) - count($"n_chars")).as("nch_null"),
+            min($"n_chars").cast("string").as("nch_min"),
+            max($"n_chars").cast("string").as("nch_max"))
+          .select(col("n_rows"), expr(
+            """stack(3,
+              |  'lang',    lang_ndv, lang_null, lang_min, lang_max,
+              |  'n_chars', nch_ndv,  nch_null,  nch_min,  nch_max,
+              |  'source',  src_ndv,  src_null,  src_min,  src_max
+              |) AS (col_name, ndv, n_null, min_v, max_v)""".stripMargin))
+          .select($"col_name", $"ndv", $"n_null", $"min_v", $"max_v", $"n_rows")
+          .orderBy($"col_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lang' AS col_name, count(DISTINCT lang) AS ndv,
+             |    count(*)-count(lang) AS n_null,
+             |    CAST(min(lang) AS VARCHAR) AS min_v,
+             |    CAST(max(lang) AS VARCHAR) AS max_v, count(*) AS n_rows
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', count(DISTINCT n_chars), count(*)-count(n_chars),
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR), count(*)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'source', count(DISTINCT source), count(*)-count(source),
+             |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR), count(*)
+             |  FROM documents)
+             |ORDER BY col_name""".stripMargin))
   )
 
   /** The partitioned-layout frame for PlanSpec's pruning assertion:
