@@ -895,6 +895,42 @@ object PipelineQueries {
              |    abs(x - CAST(CAST(round(x / scale) AS INTEGER) AS DOUBLE) * scale))), 6) END AS max_err
              |FROM s ORDER BY vec_id""".stripMargin)),
 
+    // Distributed vector mean-pooling: per-label class centroids (the
+    // build step of centroid classifiers / cluster summaries / IVF-style
+    // codebooks) computed WITHOUT collecting vectors — posexplode to
+    // (label, component) rows, one map-side-combinable sum/count agg
+    // keyed on (label, pos). This is the topology that scales where the
+    // IVF entry's 8-centroid driver collect cannot: millions of vectors
+    // per class stream through a plain aggregate, and the component key
+    // spreads any hot label across 64 reducers. Components are summed in
+    // integer MICRO-units (round(v*1e6) per component — float sums are
+    // order-dependent, integer sums are exact under any partitioning);
+    // the mean divides the two exact integers (both engines round
+    // half-away-from-zero). The exploded (label, pos) form IS the output:
+    // reassembling arrays buys nothing downstream and costs a sort.
+    "emb_mean_pool" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "embeddings")
+          .select($"label".cast("long").as("label"),
+            posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg(sum(round($"v".cast("double") * 1e6).cast("long")).as("sum_micro"),
+            count(lit(1)).as("n"))
+          .select($"label", $"pos".cast("long").as("pos"), $"sum_micro", $"n",
+            round($"sum_micro".cast("double") / $"n").cast("long").as("mean_micro"))
+          .orderBy($"label", $"pos")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(label AS BIGINT) AS label, g.i - 1 AS pos,
+             |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT) AS vm
+             |  FROM embeddings, generate_series(1, 64) AS g(i))
+             |SELECT label, CAST(pos AS BIGINT) AS pos,
+             |  CAST(sum(vm) AS BIGINT) AS sum_micro, count(*) AS n,
+             |  CAST(round(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micro
+             |FROM c GROUP BY label, pos
+             |ORDER BY label, pos""".stripMargin)),
+
     // batched multimodal decode (stubbed decoder, real plumbing):
     // binary payload -> mapPartitions grouped batches -> feature vectors.
     // The stub is deterministic double math over the UTF-8 bytes, so the
