@@ -114,7 +114,14 @@ object ScaleProbe {
       // that grows with the corpus; the blocked fuzzy join must stay
       // bounded by block sizes as the vocabulary grows
       "sk_hll_distinct", "sk_cms_heavy_hitters", "q_pagerank_iter",
-      "q_fuzzy_join_blocked")
+      "q_fuzzy_join_blocked",
+      // r5 final additions with amplification or corpus-keyed stages:
+      // mean-pool explodes every vector x64 before its bounded agg,
+      // table-stats Expands the scan x3 and re-keys by distinct value,
+      // zorder's tile agg is bounded but rides the full scan (the
+      // span/splice/json ops are row-local — not probed, nothing to
+      // measure)
+      "emb_mean_pool", "src_table_stats", "src_zorder_tiles")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes
