@@ -1194,6 +1194,80 @@ object PipelineQueries {
              |SELECT doc_id, rank, term, tf, df, score FROM rk
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // Okapi BM25 (k1=1.2, b=0.75) ranking of the corpus against a fixed
+    // query-term set — the lexical retrieval scorer every RAG /
+    // data-curation stack runs next to its embedding ANN. Topology is
+    // the 100 TB-safe one: per-doc TF for each query term is ROW-LOCAL
+    // (one codegen'd wordGramCounts pass -> map lookup; the corpus is
+    // never exploded term-wide), corpus stats (N, avgdl, per-term DF)
+    // are ONE one-row aggregate broadcast back onto the scan, scoring
+    // is row-local arithmetic against the broadcast stats, and only the
+    // global top-20 pays an ordering (TakeOrdered, not a full sort).
+    // The 6dp-rounded score carries a doc_id tiebreak so the float
+    // never decides an ordering alone; the SQL mirrors the Spark
+    // expression tree operation-for-operation so both engines run the
+    // identical IEEE double chain.
+    "ta_bm25_rank" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val qterms = Seq("spark", "hash", "window")
+        val K1 = 1.2
+        val B = 0.75
+        val base = rd(s, d, "documents")
+          .select($"doc_id",
+            wsTokenCount($"text").cast("double").as("dl"),
+            map_from_entries(wordGramCounts($"text", 1)).as("tfm"))
+          .select($"doc_id" +: $"dl" +: qterms.map(t =>
+            coalesce(element_at($"tfm", lit(t)), lit(0L))
+              .cast("double").as(s"tf_$t")): _*)
+        val stats = base.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg($"dl").as("avgdl") +: qterms.map(t =>
+            count(when(col(s"tf_$t") > 0, lit(1)))
+              .cast("double").as(s"df_$t")): _*)
+        val score = qterms.map { t =>
+          val tf = col(s"tf_$t"); val df = col(s"df_$t")
+          log(lit(1.0) + ($"n_docs" - df + 0.5) / (df + 0.5)) *
+            (tf * (K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl"))
+        }.reduce(_ + _)
+        base.crossJoin(broadcast(stats))
+          .withColumn("score", round(score, 6))
+          .filter($"score" > 0)
+          .orderBy($"score".desc, $"doc_id".asc)
+          .limit(20)
+          .select($"doc_id" +: qterms.map(t =>
+            col(s"tf_$t").cast("long").as(s"tf_$t")) :+ $"score": _*)
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CAST(len(ws) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) AS tf_spark,
+             |    CAST(len(list_filter(ws, w -> w = 'hash')) AS DOUBLE) AS tf_hash,
+             |    CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) AS tf_window
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS ws
+             |    FROM documents)),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             |    CAST(count(CASE WHEN tf_spark > 0 THEN 1 END) AS DOUBLE) AS df_spark,
+             |    CAST(count(CASE WHEN tf_hash > 0 THEN 1 END) AS DOUBLE) AS df_hash,
+             |    CAST(count(CASE WHEN tf_window > 0 THEN 1 END) AS DOUBLE) AS df_window
+             |  FROM base),
+             |sc AS (SELECT doc_id, tf_spark, tf_hash, tf_window,
+             |    round(
+             |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+             |        * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      + ln(1.0 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+             |        * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      + ln(1.0 + (n_docs - df_window + 0.5) / (df_window + 0.5))
+             |        * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             |      6) AS score
+             |  FROM base CROSS JOIN st)
+             |SELECT doc_id, CAST(tf_spark AS BIGINT) AS tf_spark,
+             |  CAST(tf_hash AS BIGINT) AS tf_hash,
+             |  CAST(tf_window AS BIGINT) AS tf_window, score
+             |FROM sc WHERE score > 0
+             |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // vocabulary building: global token frequencies, top-50 (the
     // explode -> partial-agg -> final-agg shuffle every tokenizer-vocab
     // job runs; count is map-side combined before the one shuffle)

@@ -219,6 +219,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("bm25 scores row-locally against one broadcast stats row; top-k, no sort") {
+    val p = plan(graft.SparkEntry.queries("ta_bm25_rank")(spark, sf))
+    // the global top-20 must be a TakeOrdered, never a full corpus sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // corpus stats (N, avgdl, per-term DF) arrive as ONE broadcast row
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats not broadcast:\n" + p.take(2000))
+    // no term-wide corpus explode and no corpus-keyed shuffle join:
+    // TF is a row-local map lookup, so the only join is the broadcast
+    assert(!p.contains("Generate"), "corpus exploded term-wide:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("quantile operators never window over the documents") {
     // ta_ccnet_bucket and ta_length_quantiles compute exact per-key
     // quantile semantics (pinned by their ntile/row_number oracles) from
