@@ -1268,6 +1268,70 @@ object PipelineQueries {
              |FROM sc WHERE score > 0
              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-Res),
+    // deterministic: u = (polyHash(text)+1)/(M+1) in (0,1) stands in for
+    // the uniform draw (seedless, content-keyed — re-runs pick the same
+    // docs on any cluster), weight = n_chars, key = ln(u)/w; the top-12
+    // keys (closest to 0) are the sample — longer docs proportionally
+    // likelier, exactly A-Res semantics. Key computation is ROW-LOCAL;
+    // the only ordering is the global top-12 (TakeOrdered: per-partition
+    // top-k then a 12-row merge — the distributed weighted reservoir).
+    // Keys are 9dp-rounded with a doc_id tiebreak before ranking.
+    "ta_weighted_sample" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val u = (polyHash($"text", 64) + lit(1L)).cast("double") /
+          lit((M + 1L).toDouble)
+        rd(s, d, "documents")
+          .select($"doc_id", $"n_chars".cast("long").as("w"),
+            round(log(u) / $"n_chars".cast("double"), 9).as("key"))
+          .orderBy($"key".desc, $"doc_id".asc)
+          .limit(12)
+      },
+      Some(s"""WITH h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(generate_series(1, least(length(text), 64)),
+              |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+              |      (a, x) -> (a * 31 + x) % $M) AS hv
+              |  FROM documents)
+              |SELECT doc_id, w,
+              |  round(ln(CAST(hv + 1 AS DOUBLE) / ${M + 1L}.0)
+              |        / CAST(w AS DOUBLE), 9) AS key
+              |FROM h ORDER BY key DESC, doc_id ASC LIMIT 12""".stripMargin)),
+
+    // Inverted-index construction with BLOCK-SHARDED posting lists — the
+    // retrieval-side artifact a lexical search stack materializes from
+    // the corpus. Postings for a term are O(df) (that is what an index
+    // is), so the scale-safe layout shards them by doc_id range: group
+    // key = (term, doc_id div 256) — every group is bounded by the block
+    // width regardless of term popularity (a stop-word's postings span
+    // many blocks, never one giant group; no collect_list over an
+    // unbounded df). Per-doc term counts are ROW-LOCAL (codegen'd
+    // wordGramCounts), so the one term-block-keyed exchange carries
+    // (term, doc_id, tf) triples with map-side combining already done.
+    "ta_inverted_index" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        rd(s, d, "documents")
+          .select($"doc_id", explode(wordGramCounts($"text", 1)).as("p"))
+          .select($"doc_id", $"p.g".as("term"), $"p.c".as("tf"))
+          .groupBy($"term", expr("doc_id div 256").as("block"))
+          .agg(count(lit(1)).as("df_block"),
+            sum($"tf").as("tf_block"),
+            array_join(transform(sort_array(collect_list($"doc_id")),
+              _.cast("string")), ",").as("postings"))
+          .orderBy($"term", $"block")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM documents),
+             |tfp AS (SELECT doc_id, unnest(ws) AS term FROM w),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tfp GROUP BY doc_id, term)
+             |SELECT term, doc_id // 256 AS block, count(*) AS df_block,
+             |  CAST(sum(tf) AS BIGINT) AS tf_block,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+             |FROM tf GROUP BY term, block ORDER BY term, block""".stripMargin)),
+
     // vocabulary building: global token frequencies, top-50 (the
     // explode -> partial-agg -> final-agg shuffle every tokenizer-vocab
     // job runs; count is map-side combined before the one shuffle)

@@ -233,6 +233,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("weighted sampling is row-local keys + a distributed top-k merge") {
+    val p = plan(graft.SparkEntry.queries("ta_weighted_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the A-Res key is computed on the scan; nothing shuffles the corpus
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
+    assert(!"Exchange".r.findFirstIn(p).isDefined,
+      "corpus shuffled for a row-local sample:\n" + p.take(2000))
+  }
+
+  test("inverted index pays exactly one data exchange (the term-block agg)") {
+    val df = graft.SparkEntry.queries("ta_inverted_index")(spark, sf)
+    // one agg exchange + the presentation sort's range exchange, nothing more
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2, df.queryExecution.executedPlan.toString.take(2000))
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
   test("quantile operators never window over the documents") {
     // ta_ccnet_bucket and ta_length_quantiles compute exact per-key
     // quantile semantics (pinned by their ntile/row_number oracles) from
