@@ -197,6 +197,79 @@ object SketchQueries {
       },
       Some("""SELECT source, count(*) AS n, CAST(0 AS BIGINT) AS err
              |FROM documents GROUP BY source
-             |ORDER BY n DESC, source""".stripMargin))
+             |ORDER BY n DESC, source""".stripMargin)),
+
+    // KMV / bottom-k THETA sketch with set algebra (Bar-Yossef et al.
+    // 2002; the theta-sketch framework): distinct-user estimates for two
+    // event cohorts (A = click/view, B = purchase/signup) plus their
+    // UNION and INTERSECTION — the sketch-level set operations no HLL
+    // can do (HLL unions but cannot intersect). The sketch is the native
+    // bounded-state KmvAgg (plans/KmvAgg.scala): k=12 smallest distinct
+    // hashes per cohort, O(k) per task, map-side partial merges — the
+    // corpus is never value-shuffled for the estimates. All downstream
+    // algebra is exact integer arithmetic on the two 12-element arrays
+    // (estimate = (k-1)·M div theta; union = bottom-k of the merged
+    // arrays; intersection = theta-filtered common values scaled by the
+    // min theta), so the DuckDB mirror — distinct + sort + limit CTEs —
+    // computes the identical numbers. The exact_* columns are the
+    // test-scale AUDIT arm (the only part that shuffles user-keyed
+    // data; at 100 TB you keep the sketch and drop the audit).
+    "sk_kmv_theta" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import graft.plans.KmvSketch.kmvSketch
+        val M = graft.functions.TextFunctions.HashMod
+        val ev = rd(s, d, "events")
+          .filter($"event_type".isin("click", "view", "purchase", "signup"))
+          .select($"user_id",
+            when($"event_type".isin("click", "view"), "A")
+              .otherwise("B").as("set_id"),
+            pmod(pmod($"user_id", lit(M)) * lit(2654435761L), lit(M)).as("h"))
+        val sk = ev.groupBy($"set_id").agg(kmvSketch($"h", 12).as("sk"))
+          .agg(
+            first(when($"set_id" === "A", $"sk"), ignoreNulls = true).as("ska"),
+            first(when($"set_id" === "B", $"sk"), ignoreNulls = true).as("skb"))
+        val exact = ev.groupBy($"user_id")
+          .agg(max(when($"set_id" === "A", 1).otherwise(0)).as("ina"),
+            max(when($"set_id" === "B", 1).otherwise(0)).as("inb"))
+          .agg(count(when($"ina" === 1, 1)).as("exact_a"),
+            count(when($"inb" === 1, 1)).as("exact_b"),
+            count(lit(1)).as("exact_union"),
+            count(when($"ina" === 1 && $"inb" === 1, 1)).as("exact_int"))
+        sk.crossJoin(broadcast(exact)).selectExpr(
+          s"11 * ${M}L div element_at(ska, 12) AS est_a",
+          s"11 * ${M}L div element_at(skb, 12) AS est_b",
+          s"11 * ${M}L div element_at(slice(array_sort(array_union(ska, skb)), 1, 12), 12) AS est_union",
+          s"size(filter(array_intersect(ska, skb), v -> v < least(element_at(ska, 12), element_at(skb, 12)))) * ${M}L div least(element_at(ska, 12), element_at(skb, 12)) AS est_int",
+          "exact_a", "exact_b", "exact_union", "exact_int")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    CASE WHEN event_type IN ('click','view') THEN 'A' ELSE 'B' END AS set_id,
+             |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h
+             |  FROM events
+             |  WHERE event_type IN ('click','view','purchase','signup')),
+             |ask AS (SELECT DISTINCT h FROM e WHERE set_id = 'A' ORDER BY h LIMIT 12),
+             |bsk AS (SELECT DISTINCT h FROM e WHERE set_id = 'B' ORDER BY h LIMIT 12),
+             |ka AS (SELECT max(h) AS th FROM ask),
+             |kb AS (SELECT max(h) AS th FROM bsk),
+             |ku AS (SELECT max(h) AS th FROM (
+             |  SELECT h FROM (SELECT h FROM ask UNION SELECT h FROM bsk)
+             |  ORDER BY h LIMIT 12)),
+             |ri AS (SELECT count(*) AS r FROM ask JOIN bsk USING (h), ka, kb
+             |       WHERE h < least(ka.th, kb.th)),
+             |ex AS (SELECT count(CASE WHEN ina = 1 THEN 1 END) AS exact_a,
+             |         count(CASE WHEN inb = 1 THEN 1 END) AS exact_b,
+             |         count(*) AS exact_union,
+             |         count(CASE WHEN ina = 1 AND inb = 1 THEN 1 END) AS exact_int
+             |       FROM (SELECT user_id,
+             |           max(CASE WHEN set_id = 'A' THEN 1 ELSE 0 END) AS ina,
+             |           max(CASE WHEN set_id = 'B' THEN 1 ELSE 0 END) AS inb
+             |         FROM e GROUP BY user_id))
+             |SELECT CAST(11 AS BIGINT) * 1000000007 // ka.th AS est_a,
+             |  CAST(11 AS BIGINT) * 1000000007 // kb.th AS est_b,
+             |  CAST(11 AS BIGINT) * 1000000007 // ku.th AS est_union,
+             |  CAST(ri.r AS BIGINT) * 1000000007 // least(ka.th, kb.th) AS est_int,
+             |  exact_a, exact_b, exact_union, exact_int
+             |FROM ka, kb, ku, ri, ex""".stripMargin))
   )
 }
