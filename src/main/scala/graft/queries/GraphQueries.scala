@@ -125,7 +125,81 @@ object GraphQueries {
              |    CAST(coalesce(150000 + mass * 850000 // 1000000, 150000) AS BIGINT) AS rank
              |  FROM nodes LEFT JOIN c3 ON nodes.doc_id = c3.dst)
              |SELECT doc_id, rank FROM r3
-             |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Triangle counting + global clustering coefficient by DEGREE-ORDERED
+    // orientation (Suri & Vassilvitskii 2011 / the compact-forward
+    // algorithm) over a deterministic ring+chord graph on doc ids.
+    // Every undirected edge is oriented from its lower (deg, id)
+    // endpoint, so each triangle is generated exactly once as a wedge
+    // at its minimum vertex and every wedge is charged to its
+    // LOWEST-DEGREE vertex — the hub that would explode a naive
+    // wedge-join (deg^2 pairs at the celebrity node) only ever closes
+    // wedges, never opens them. At 100 TB scale this is the standard
+    // bound: sum of min-degree^2 << sum of deg^2. Topology: equi-joins
+    // on the wedge apex and on the closing (p, q) pair — no cartesian,
+    // no driver loop; the oriented edge list is materialized once
+    // (localCheckpoint, the q_pagerank_iter idiom) because the wedge
+    // self-join and the closing join both read it.
+    "q_triangle_count" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val docs = rd(s, d, "documents").select($"doc_id")
+        val nRow = docs.agg(count(lit(1)).as("n"))
+        val nodes = docs.crossJoin(broadcast(nRow))
+        def tgt(m: Long, a: Long): Column = pmod($"doc_id" * m + a, $"n")
+        val raw = nodes
+          .select($"doc_id".as("x"),
+            explode(array(tgt(1, 1), tgt(1, 2), tgt(7, 3))).as("y"))
+          .filter($"x" =!= $"y")
+          .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+          .distinct()
+        val deg = raw.select(explode(array($"a", $"b")).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        val da = deg.toDF("a", "da"); val db = deg.toDF("b", "db")
+        val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+        val e = raw.join(da, "a").join(db, "b")
+          .select(when(lowFirst, $"a").otherwise($"b").as("u"),
+            when(lowFirst, $"b").otherwise($"a").as("v"))
+        val ek = e.join(deg.toDF("v", "dv"), "v")
+          .select($"u", $"v", ($"dv" * lit(1000000000L) + $"v").as("kv"))
+          .localCheckpoint()
+        val wedges = ek.alias("x").join(ek.alias("y"), "u")
+          .filter(col("x.kv") < col("y.kv"))
+          .select(col("x.v").as("p"), col("y.v").as("q"))
+        val tri = wedges
+          .join(ek.select($"u".as("p"), $"v".as("q")), Seq("p", "q"))
+          .agg(count(lit(1)).as("triangles"))
+        val wtot = deg.agg(
+          expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)").as("wedges"))
+        tri.crossJoin(broadcast(wtot))
+          .select($"triangles", $"wedges",
+            round(lit(3.0) * $"triangles" / $"wedges", 6).as("coeff"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+             |raw AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+             |    SELECT doc_id AS x, (doc_id * 1 + 1) % n.n AS y FROM documents, n
+             |    UNION ALL SELECT doc_id, (doc_id * 1 + 2) % n.n FROM documents, n
+             |    UNION ALL SELECT doc_id, (doc_id * 7 + 3) % n.n FROM documents, n)
+             |  WHERE x != y),
+             |deg AS (SELECT v, count(*) AS deg FROM (
+             |    SELECT a AS v FROM raw UNION ALL SELECT b FROM raw) GROUP BY v),
+             |e AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+             |               THEN a ELSE b END AS u,
+             |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+             |               THEN b ELSE a END AS v
+             |      FROM raw JOIN deg da ON raw.a = da.v JOIN deg db ON raw.b = db.v),
+             |ek AS (SELECT e.u, e.v, dv.deg * 1000000000 + e.v AS kv
+             |       FROM e JOIN deg dv ON e.v = dv.v),
+             |w AS (SELECT x.v AS p, y.v AS q
+             |      FROM ek x JOIN ek y ON x.u = y.u AND x.kv < y.kv),
+             |t AS (SELECT count(*) AS triangles
+             |      FROM w JOIN e ON w.p = e.u AND w.q = e.v),
+             |wd AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+             |       FROM deg)
+             |SELECT triangles, wedges,
+             |  round(3.0 * triangles / wedges, 6) AS coeff
+             |FROM t, wd""".stripMargin))
   )
 
   /** sqlToks WITHOUT the distinct-per-doc collapse is unnecessary here —
