@@ -307,6 +307,55 @@ object OlapQueries {
              |  round((n_chars - mean) / stddev, 3) AS z
              |FROM documents d JOIN m ON d.source = m.source
              |WHERE abs((n_chars - mean) / stddev) > 2.0
-             |ORDER BY d.source, doc_id""".stripMargin))
+             |ORDER BY d.source, doc_id""".stripMargin)),
+
+    // 2-D skyline / Pareto frontier (min price, max size) over part —
+    // the dominance query (Börzsönyi et al. 2001). DEFINITION (the
+    // oracle): p is on the frontier iff no q has price<=, size>= with
+    // one strict. The ENGINE never runs the quadratic NOT EXISTS and
+    // never globally orders the corpus; it uses the standard sound
+    // skyline prune (dominance is transitive, so rows dominated by a
+    // dropped row are also dominated by a surviving one):
+    //   phase 1 — per-PRICE-BUCKET max-size summary (bounded rows),
+    //     cumulative max over the tiny summary, broadcast back: a row
+    //     dominated by any strictly-cheaper bucket's max dies at the
+    //     scan (this removes the overwhelming mass);
+    //   phase 2 — per-bucket windows on the SURVIVORS only (partitioned
+    //     by bucket — never a global order): running max over strictly
+    //     cheaper cents kills within-bucket dominance, a same-price
+    //     partition max kills strictly-taller price ties.
+    // Prices go through round(x*100) BIGINT cents in BOTH engines so no
+    // double comparison or cast-rounding asymmetry exists.
+    "q_skyline_pareto" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val parts = rd(s, d, "part")
+          .select($"p_partkey", $"p_size".cast("long").as("size"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"))
+          .withColumn("bk", expr("pc div 10000"))
+        val summ = parts.groupBy($"bk").agg(max($"size").as("bmax"))
+        val wcum = Window.orderBy($"bk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = summ.select($"bk", max($"bmax").over(wcum).as("mlow"))
+        val surv = parts.join(broadcast(cum), Seq("bk"))
+          .filter($"mlow".isNull || $"size" > $"mlow")
+        val wLt = Window.partitionBy($"bk").orderBy($"pc")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wTie = Window.partitionBy($"bk", $"pc")
+        surv
+          .withColumn("mlt", max($"size").over(wLt))
+          .withColumn("mtie", max($"size").over(wTie))
+          .filter(($"mlt".isNull || $"mlt" < $"size") && $"mtie" <= $"size")
+          .select($"p_partkey", $"pc", $"size")
+          .orderBy($"pc", $"p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc FROM part)
+             |SELECT p_partkey, pc, size FROM p a
+             |WHERE NOT EXISTS (SELECT 1 FROM p b
+             |  WHERE b.pc <= a.pc AND b.size >= a.size
+             |    AND (b.pc < a.pc OR b.size > a.size))
+             |ORDER BY pc, p_partkey""".stripMargin))
   )
 }

@@ -253,6 +253,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
   }
 
+  test("skyline windows are bucket-partitioned; only the summary is globally ordered") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = graft.SparkEntry.queries("q_skyline_pareto")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(wins.nonEmpty, "skyline lost its windows entirely")
+    wins.foreach { w =>
+      val partitioned = w.partitionSpec.nonEmpty
+      val overSummary = w.child.collectFirst {
+        case a: logical.Aggregate if a.groupingExpressions.nonEmpty => a
+      }.isDefined
+      assert(partitioned || overSummary,
+        s"corpus-wide unpartitioned window in skyline:\n$w")
+    }
+  }
+
   test("quantile operators never window over the documents") {
     // ta_ccnet_bucket and ta_length_quantiles compute exact per-key
     // quantile semantics (pinned by their ntile/row_number oracles) from
