@@ -65,6 +65,24 @@ object ScaleProbe {
     }
     embCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events scaled by copy with offset user/event ids (distinct-user
+    // cardinality grows linearly — the regime the KMV sketch bounds);
+    // part scaled with a per-copy price shift so the skyline's price
+    // axis genuinely widens instead of multiplying exact ties
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until factor).map { k =>
+      ev.select(($"event_id" + lit(k.toLong * 10000000L)).as("event_id"),
+        $"ts", ($"user_id" + lit(k.toLong * 1000000L)).as("user_id"),
+        $"event_type", $"value", $"props")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    val pt = spark.read.parquet(s"$base/part.parquet")
+    (0 until factor).map { k =>
+      pt.select(($"p_partkey" + lit(k.toLong * 10000000L)).as("p_partkey"),
+        $"p_name", $"p_brand", $"p_type", $"p_size",
+        ($"p_retailprice" + lit(k * 0.01)).as("p_retailprice"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,7 +139,17 @@ object ScaleProbe {
       // zorder's tile agg is bounded but rides the full scan (the
       // span/splice/json ops are row-local — not probed, nothing to
       // measure)
-      "emb_mean_pool", "src_table_stats", "src_zorder_tiles")
+      "emb_mean_pool", "src_table_stats", "src_zorder_tiles",
+      // r5 late additions: bm25 (row-local TF + broadcast stats +
+      // TakeOrdered), the block-sharded inverted index (one gram-keyed
+      // exchange whose per-group size is bounded by the block width),
+      // A-Res weighted sampling (row-local keys + top-k merge), the
+      // KMV theta sketch over events (bounded agg state as distinct
+      // users grow linearly), degree-ordered triangle counting (wedge
+      // work charged to low-degree vertices as the ring+chord graph
+      // grows), and the skyline's bounded-summary prune over part
+      "ta_bm25_rank", "ta_inverted_index", "ta_weighted_sample",
+      "sk_kmv_theta", "q_triangle_count", "q_skyline_pareto")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes
