@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** OLAP surface beyond the single ROLLUP entry (q_rollup_revenue) plus
@@ -356,6 +356,148 @@ object OlapQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM p b
              |  WHERE b.pc <= a.pc AND b.size >= a.size
              |    AND (b.pc < a.pc OR b.size > a.size))
-             |ORDER BY pc, p_partkey""".stripMargin))
+             |ORDER BY pc, p_partkey""".stripMargin)),
+
+    // Pearson correlation matrix over lineitem's numeric columns in ONE
+    // map-side-combined moment pass: values go through integer scaling
+    // (units / cents / discount-percent BIGINTs), all moment sums
+    // (Σx, Σx², Σxy) accumulate as DECIMAL(38,0) — EXACT at any row
+    // count and partitioning, no float summation order exists — and the
+    // correlation formula runs once per pair on the one-row moment
+    // frame in a pinned IEEE chain. At 100 TB this is one scan + one
+    // 9-sum aggregate; no shuffle of data rows at all.
+    "q_corr_pearson" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val li = rd(s, d, "lineitem").select(
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("p"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+        def dsum(c: Column, n: String) =
+          sum(c.cast("decimal(38,0)")).as(n)
+        val m = li.agg(
+          count(lit(1)).as("n"),
+          dsum($"q", "sq"), dsum($"p", "sp"), dsum($"dc", "sd"),
+          dsum($"q" * $"q", "sqq"), dsum($"p" * $"p", "spp"),
+          dsum($"dc" * $"dc", "sdd"),
+          dsum($"q" * $"p", "sqp"), dsum($"q" * $"dc", "sqd"),
+          dsum($"p" * $"dc", "spd"))
+        def corr(sxy: String, sx: String, sy: String,
+            sxx: String, syy: String) =
+          s"""round((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+             | - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+             | / (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+             |        - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+             |  * sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+             |        - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 6)"""
+            .stripMargin.replace("\n", " ")
+        m.selectExpr("n",
+          corr("sqp", "sq", "sp", "sqq", "spp") + " AS corr_qty_price",
+          corr("sqd", "sq", "sd", "sqq", "sdd") + " AS corr_qty_disc",
+          corr("spd", "sp", "sd", "spp", "sdd") + " AS corr_price_disc")
+      },
+      Some("""WITH v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             |    CAST(round(l_discount * 100) AS BIGINT) AS dc
+             |  FROM lineitem),
+             |m AS (SELECT count(*) AS n,
+             |    sum(q) AS sq, sum(p) AS sp, sum(dc) AS sd,
+             |    sum(q * q) AS sqq, sum(p * p) AS spp, sum(dc * dc) AS sdd,
+             |    sum(q * p) AS sqp, sum(q * dc) AS sqd, sum(p * dc) AS spd
+             |  FROM v)
+             |SELECT n,
+             |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price,
+             |  round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_qty_disc,
+             |  round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_price_disc
+             |FROM m""".stripMargin)),
+
+    // Chi-square independence test source × lang over documents — the
+    // categorical-drift / association screen a corpus QA dashboard
+    // runs. Contingency table = one bounded (sources × langs) agg with
+    // map-side combining; marginals broadcast back onto the tiny
+    // summary; the statistic accumulates in the repo's micro-integer
+    // idiom: each cell's (o-e)²/e term is rounded to an exact BIGINT
+    // micro-unit BEFORE summation, so no float accumulation order
+    // exists and both engines agree bit-for-bit.
+    "ta_chi2_independence" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val cells = rd(s, d, "documents")
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy($"source").agg(sum($"o").as("rt"))
+        val cols = cells.groupBy($"lang").agg(sum($"o").as("ct"))
+        val tot = cells.agg(sum($"o").as("n"))
+        cells.join(broadcast(rows), "source").join(broadcast(cols), "lang")
+          .crossJoin(broadcast(tot))
+          .withColumn("e",
+            $"rt".cast("double") * $"ct".cast("double") / $"n".cast("double"))
+          .withColumn("term_micro", expr(
+            "CAST(round(1e6 * (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS BIGINT)"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum($"term_micro").as("chi2_micro"))
+        // dof = (R-1)(C-1) derivable from the marginals; n_cells pins
+        // the contingency shape the statistic was computed over
+      },
+      Some("""WITH cells AS (SELECT source, lang, count(*) AS o
+             |  FROM documents GROUP BY source, lang),
+             |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY source),
+             |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY lang),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |t AS (SELECT o,
+             |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+             |  FROM cells JOIN rt USING (source) JOIN ct USING (lang), n)
+             |SELECT count(*) AS n_cells,
+             |  CAST(sum(CAST(round(1e6 * (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS BIGINT)) AS BIGINT) AS chi2_micro
+             |FROM t""".stripMargin)),
+
+    // Population Stability Index between two corpus halves (the drift
+    // metric between a reference and a current snapshot — here the
+    // deterministic doc_id parity split): per-bucket shares over the
+    // power-of-two length buckets with +1 Laplace smoothing, PSI term
+    // (p-q)·ln(p/q) rounded to BIGINT micro-units per bucket before the
+    // exact sum. One bounded (bucket × half) agg over the scan; the
+    // 5-row summary does all the float work in a pinned order.
+    "ta_psi_drift" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val bucket = when($"n_chars" < 64, "0-63")
+          .when($"n_chars" < 128, "64-127")
+          .when($"n_chars" < 256, "128-255")
+          .when($"n_chars" < 512, "256-511")
+          .otherwise("512+")
+        val byHalf = rd(s, d, "documents")
+          .groupBy(bucket.as("len_bucket"))
+          .agg(count(when(pmod($"doc_id", lit(2)) === 0, 1)).as("ca"),
+            count(when(pmod($"doc_id", lit(2)) === 1, 1)).as("cb"))
+        val tots = byHalf.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+          count(lit(1)).as("nbk"))
+        byHalf.crossJoin(broadcast(tots))
+          .withColumn("p", expr(
+            "(CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(nbk AS DOUBLE))"))
+          .withColumn("q", expr(
+            "(CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(nbk AS DOUBLE))"))
+          .withColumn("term_micro",
+            expr("CAST(round(1e6 * (p - q) * ln(p / q)) AS BIGINT)"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum($"term_micro").as("psi_micro"))
+      },
+      Some("""WITH b AS (SELECT CASE
+             |      WHEN n_chars < 64 THEN '0-63'
+             |      WHEN n_chars < 128 THEN '64-127'
+             |      WHEN n_chars < 256 THEN '128-255'
+             |      WHEN n_chars < 512 THEN '256-511'
+             |      ELSE '512+' END AS len_bucket,
+             |    count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS ca,
+             |    count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS cb
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS nbk FROM b),
+             |s AS (SELECT
+             |    (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(nbk AS DOUBLE)) AS p,
+             |    (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(nbk AS DOUBLE)) AS q
+             |  FROM b, t)
+             |SELECT count(*) AS n_buckets,
+             |  CAST(sum(CAST(round(1e6 * (p - q) * ln(p / q)) AS BIGINT)) AS BIGINT) AS psi_micro
+             |FROM s""".stripMargin))
   )
 }
