@@ -199,7 +199,82 @@ object GraphQueries {
              |       FROM deg)
              |SELECT triangles, wedges,
              |  round(3.0 * triangles / wedges, 6) AS coeff
-             |FROM t, wd""".stripMargin))
+             |FROM t, wd""".stripMargin)),
+
+    // k-core peeling trajectory (k=6, 4 fixed rounds) over the same
+    // ring+chord graph: each round drops vertices of degree < k and
+    // the edges they carried, reporting (round, surviving vertices,
+    // surviving edges, sum of surviving vertex ids) — the degeneracy
+    // screen a graph-shaped corpus (link graph, conversation reply
+    // graph) runs before community detection. Fixed-round peeling is
+    // the pinned DEFINITION (the trajectory shows convergence: equal
+    // consecutive rows = fixpoint reached); each round is one degree
+    // agg + one semi-join filter — the dd_cluster_cc topology — with
+    // the edge frame localCheckpointed per round so no lineage chain
+    // builds up. id-sum is the order-free integer checksum of WHICH
+    // vertices survive, keeping the output bounded at any graph size.
+    "q_kcore_peel" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val docs = rd(s, d, "documents").select($"doc_id")
+        val nRow = docs.agg(count(lit(1)).as("n"))
+        val nodes = docs.crossJoin(broadcast(nRow))
+        def tgt(m: Long, a: Long): Column = pmod($"doc_id" * m + a, $"n")
+        var edges = nodes
+          .select($"doc_id".as("x"),
+            explode(array(tgt(1, 1), tgt(1, 2), tgt(7, 3))).as("y"))
+          .filter($"x" =!= $"y")
+          .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+          .distinct()
+          .localCheckpoint()
+        val out = (1 to 4).map { round =>
+          val deg = edges.select(explode(array($"a", $"b")).as("v"))
+            .groupBy($"v").agg(count(lit(1)).as("deg"))
+          val keep = deg.filter($"deg" >= 6).select($"v")
+          edges = edges
+            .join(keep.toDF("a"), Seq("a"), "left_semi")
+            .join(keep.toDF("b"), Seq("b"), "left_semi")
+            .select($"a", $"b")
+            .localCheckpoint()
+          val verts = edges.select(explode(array($"a", $"b")).as("v")).distinct()
+          verts.agg(count(lit(1)).as("n_vertices"),
+              sum($"v").as("id_sum"))
+            .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+            .select(lit(round).as("round"), $"n_vertices", $"n_edges",
+              $"id_sum")
+        }.reduce(_ unionByName _)
+        out.orderBy($"round")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+             |e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+             |    SELECT doc_id AS x, (doc_id * 1 + 1) % n.n AS y FROM documents, n
+             |    UNION ALL SELECT doc_id, (doc_id * 1 + 2) % n.n FROM documents, n
+             |    UNION ALL SELECT doc_id, (doc_id * 7 + 3) % n.n FROM documents, n)
+             |  WHERE x != y),
+             |d1 AS (SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+             |       GROUP BY v HAVING count(*) >= 6),
+             |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT v FROM d1) AND b IN (SELECT v FROM d1)),
+             |d2 AS (SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+             |       GROUP BY v HAVING count(*) >= 6),
+             |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT v FROM d2) AND b IN (SELECT v FROM d2)),
+             |d3 AS (SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+             |       GROUP BY v HAVING count(*) >= 6),
+             |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT v FROM d3) AND b IN (SELECT v FROM d3)),
+             |d4 AS (SELECT v FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+             |       GROUP BY v HAVING count(*) >= 6),
+             |e4 AS (SELECT a, b FROM e3 WHERE a IN (SELECT v FROM d4) AND b IN (SELECT v FROM d4)),
+             |s1 AS (SELECT 1 AS round, count(DISTINCT v) AS n_vertices,
+             |    (SELECT count(*) FROM e1) AS n_edges, CAST(sum(v) AS BIGINT) AS id_sum
+             |  FROM (SELECT DISTINCT v FROM (SELECT a AS v FROM e1 UNION SELECT b FROM e1))),
+             |s2 AS (SELECT 2, count(DISTINCT v), (SELECT count(*) FROM e2), CAST(sum(v) AS BIGINT)
+             |  FROM (SELECT DISTINCT v FROM (SELECT a AS v FROM e2 UNION SELECT b FROM e2))),
+             |s3 AS (SELECT 3, count(DISTINCT v), (SELECT count(*) FROM e3), CAST(sum(v) AS BIGINT)
+             |  FROM (SELECT DISTINCT v FROM (SELECT a AS v FROM e3 UNION SELECT b FROM e3))),
+             |s4 AS (SELECT 4, count(DISTINCT v), (SELECT count(*) FROM e4), CAST(sum(v) AS BIGINT)
+             |  FROM (SELECT DISTINCT v FROM (SELECT a AS v FROM e4 UNION SELECT b FROM e4)))
+             |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+             |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+             |ORDER BY round""".stripMargin))
   )
 
   /** sqlToks WITHOUT the distinct-per-doc collapse is unnecessary here —

@@ -498,6 +498,47 @@ object OlapQueries {
              |  FROM b, t)
              |SELECT count(*) AS n_buckets,
              |  CAST(sum(CAST(round(1e6 * (p - q) * ln(p / q)) AS BIGINT)) AS BIGINT) AS psi_micro
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // OLS trend over the daily event-value series: slope / intercept /
+    // r² of total daily value (integer cents) against the day index.
+    // The corpus collapses into ONE bounded daily rollup (30 rows — one
+    // map-side-combined agg at any event count); the regression moments
+    // accumulate as DECIMAL(38,0) over that summary (exact, order-free)
+    // and the closed-form OLS runs once in a pinned IEEE chain. The
+    // drift/trend screen a corpus-health dashboard fits to its daily
+    // intake series.
+    "q_ols_trend" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val daily = rd(s, d, "events")
+          .groupBy(dayofmonth($"ts").cast("long").as("x"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+        def dsum(c: Column, n: String) = sum(c.cast("decimal(38,0)")).as(n)
+        daily.agg(count(lit(1)).as("n"),
+            dsum($"x", "sx"), dsum($"y", "sy"),
+            dsum($"x" * $"x", "sxx"), dsum($"y" * $"y", "syy"),
+            dsum($"x" * $"y", "sxy"))
+          .selectExpr("n",
+            """round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope""".replace("\n", " "),
+            """round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept""".replace("\n", " "),
+            """round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2""".replace("\n", " "))
+      },
+      Some("""WITH daily AS (SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+             |  FROM daily)
+             |SELECT n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+             |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+             |FROM m""".stripMargin))
   )
 }
