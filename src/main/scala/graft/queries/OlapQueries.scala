@@ -539,6 +539,79 @@ object OlapQueries {
              |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
              |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
              |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Time-window rate-limit dedup: at most one event per
+    // (user, event_type, 5-minute tumbling bucket) — the
+    // alert/notification suppression every event pipeline runs. The
+    // keep-set is a pure groupBy on the fine (type, user, bucket) key
+    // (map-side combined; groups are bounded by one user's events in 5
+    // minutes — never a per-user or global order), rolled up to the
+    // per-type suppression audit.
+    "q_rate_limit_dedup" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val bucketed = rd(s, d, "events")
+          .select($"event_type", $"user_id",
+            expr("CAST(unix_timestamp(ts) AS BIGINT) div 300").as("b"))
+        bucketed.groupBy($"event_type", $"user_id", $"b")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"event_type")
+          .agg(sum($"n").as("n_total"), count(lit(1)).as("n_kept"))
+          .withColumn("suppressed", $"n_total" - $"n_kept")
+          .orderBy($"event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 300 AS b, count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+             |  count(*) AS n_kept,
+             |  CAST(sum(n) - count(*) AS BIGINT) AS suppressed
+             |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Calendar gap-fill with forward-fill: project the daily 'error'
+    // series onto a generated full calendar (sequence() — no gaps), so
+    // missing days appear, then carry the last observed value forward
+    // (last_value IGNORE NULLS over day order). A sparse observation
+    // set is constructed deterministically (every 3rd day dropped) so
+    // the fill genuinely fires. ALL windows range over the bounded
+    // daily summary (31 rows at any event count) — the corpus pays one
+    // map-side-combined rollup and nothing else.
+    "q_gap_fill" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = rd(s, d, "events")
+          .filter($"event_type" === "error")
+          .groupBy(dayofmonth($"ts").cast("long").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .filter(pmod($"day", lit(3)) =!= 0)
+        val cal = rd(s, d, "events")
+          .agg(min(dayofmonth($"ts").cast("long")).as("d0"),
+            max(dayofmonth($"ts").cast("long")).as("d1"))
+          .select(explode(sequence($"d0", $"d1")).as("day"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("day"), "left")
+          .withColumn("observed", $"n".isNotNull)
+          .withColumn("filled",
+            coalesce($"n", last($"n", ignoreNulls = true).over(w), lit(0L)))
+          .select($"day", $"observed", $"filled")
+          .orderBy($"day")
+      },
+      Some("""WITH daily0 AS (SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+             |    count(*) AS n
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |daily AS (SELECT * FROM daily0 WHERE day % 3 != 0),
+             |r AS (SELECT CAST(min(EXTRACT(day FROM ts)) AS BIGINT) AS d0,
+             |    CAST(max(EXTRACT(day FROM ts)) AS BIGINT) AS d1 FROM events),
+             |cal AS (SELECT unnest(generate_series(d0, d1)) AS day FROM r),
+             |j AS (SELECT cal.day, daily.n FROM cal LEFT JOIN daily USING (day))
+             |SELECT day, n IS NOT NULL AS observed,
+             |  CAST(coalesce(n,
+             |    last_value(n IGNORE NULLS) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    0) AS BIGINT) AS filled
+             |FROM j ORDER BY day""".stripMargin))
   )
 }
