@@ -29,6 +29,60 @@ object SourceQueries {
 
   val entries: Seq[(String, Entry)] = Seq(
 
+    // CDC batch apply — the change-data-feed consumer (Delta CDF /
+    // Iceberg changelog semantics) expressed as a QUERY over the base
+    // snapshot plus a deterministic change batch: D deletes
+    // (doc_id % 17 = 2), U updates (doc_id % 19 = 3, text re-hashed),
+    // I inserts (fresh ids above the base range for doc_id % 23 = 4).
+    // Apply = one key-anti-join of the base against the D∪U key set,
+    // union the U-after rows and the I rows — every join an equi-join
+    // on doc_id (co-partitionable by id at 100 TB; the change batch is
+    // typically small enough to broadcast, and Spark picks that here).
+    // Output is the bounded per-source audit of the resulting table:
+    // row count, id-sum checksum, and how many rows carry changed
+    // content vs the base.
+    "src_cdc_apply" -> Entry(
+      (s, d) => {
+        import s.implicits._
+        val base = rd(s, d, "documents")
+          .select($"doc_id", $"source", md5($"text").as("h"))
+        val dKeys = base.filter(pmod($"doc_id", lit(17)) === 2)
+          .select($"doc_id")
+        val uRows = base.filter(pmod($"doc_id", lit(19)) === 3)
+          .select($"doc_id", $"source", md5(concat($"h", lit("u"))).as("h"))
+        val iRows = base.filter(pmod($"doc_id", lit(23)) === 4)
+          .select(($"doc_id" + lit(1000000000L)).as("doc_id"), $"source",
+            md5(concat($"h", lit("i"))).as("h"))
+        val untouched = base
+          .join(dKeys.unionByName(uRows.select($"doc_id")), Seq("doc_id"),
+            "left_anti")
+        val result = untouched.unionByName(uRows).unionByName(iRows)
+        result
+          .join(base.select($"doc_id", $"h".as("h0")), Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"doc_id").as("id_sum"),
+            count(when($"h0".isNull || $"h" =!= $"h0", 1)).as("n_changed"))
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+             |dk AS (SELECT doc_id FROM base WHERE doc_id % 17 = 2),
+             |ur AS (SELECT doc_id, source, md5(h || 'u') AS h
+             |       FROM base WHERE doc_id % 19 = 3),
+             |ir AS (SELECT doc_id + 1000000000 AS doc_id, source,
+             |         md5(h || 'i') AS h
+             |       FROM base WHERE doc_id % 23 = 4),
+             |unt AS (SELECT * FROM base WHERE doc_id NOT IN
+             |    (SELECT doc_id FROM dk UNION ALL SELECT doc_id FROM ur)),
+             |res AS (SELECT * FROM unt UNION ALL SELECT * FROM ur
+             |        UNION ALL SELECT * FROM ir)
+             |SELECT res.source, count(*) AS n_rows,
+             |  CAST(sum(res.doc_id) AS BIGINT) AS id_sum,
+             |  count(CASE WHEN b.h IS NULL OR res.h != b.h THEN 1 END) AS n_changed
+             |FROM res LEFT JOIN (SELECT doc_id, h FROM base) b
+             |  ON res.doc_id = b.doc_id
+             |GROUP BY res.source ORDER BY res.source""".stripMargin)),
+
     // JSONL round-trip: full text payload through JSON escaping.
     "src_jsonl_roundtrip" -> Entry(
       (s, d) => {
