@@ -149,7 +149,13 @@ object ScaleProbe {
       // work charged to low-degree vertices as the ring+chord graph
       // grows), and the skyline's bounded-summary prune over part
       "ta_bm25_rank", "ta_inverted_index", "ta_weighted_sample",
-      "sk_kmv_theta", "q_triangle_count", "q_skyline_pareto")
+      "sk_kmv_theta", "q_triangle_count", "q_skyline_pareto",
+      // iterative peeling (4 rounds of degree agg + semi-join over a
+      // graph that grows with the corpus) and the CDC apply's
+      // anti-join + union read path; the late statistics entries
+      // (corr/chi2/psi/ols/rate-limit/gap-fill) are single bounded
+      // aggs — not probed, nothing to measure
+      "q_kcore_peel", "src_cdc_apply")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       catalogNames.map(n => n -> SparkEntry.queries(n)) ++
         graft.queries.PipelineQueries.scaleProbes
