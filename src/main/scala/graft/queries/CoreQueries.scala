@@ -85,8 +85,18 @@ object CoreQueries {
         val c = rd(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
         val o = rd(s, d, "orders")
         val l = rd(s, d, "lineitem")
-        l.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        // dimension-first join order (guide §3.1): orders is pre-filtered
+        // by the broadcast BUILDING-customer semi-side and projected to
+        // the join key BEFORE meeting lineitem, so the big fact table is
+        // joined against a ~1/5-of-orders build side and never shuffled
+        // (r5 shape shuffled the full lineitem AND orders on orderkey:
+        // plan SortMergeJoin + 2 Exchange -> BroadcastHashJoin, 0
+        // fact-side Exchange). At larger scale the same plan degrades
+        // gracefully: drop the broadcast hint and AQE picks SMJ when the
+        // filtered orders side outgrows the broadcast threshold.
+        l.join(broadcast(o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+            .select($"o_orderkey")),
+          $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_orderkey")
           .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
@@ -116,15 +126,30 @@ object CoreQueries {
     "q_rollup_revenue" -> Entry(
       (s, d) => {
         import s.implicits._
-        val o = rd(s, d, "orders")
-        val l = rd(s, d, "lineitem")
-        l.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(rd(s, d, "customer")), $"o_custkey" === $"c_custkey")
+        // the whole dimension side — orders⋈customer⋈nation⋈region
+        // projected to (o_orderkey, r_name, n_name) — is built first and
+        // broadcast, so the fact table is NEVER shuffled (r5 plan:
+        // lineitem⋈orders SortMergeJoin with 2 fact-scale Exchanges ->
+        // BroadcastHashJoin, remaining Exchanges only over the tiny
+        // rollup key space). The revenue term is also projected ONCE
+        // before the rollup Expand so the decimal multiply runs per
+        // input row, not per expanded (×3) row. At larger scale drop
+        // the hint on the orders chain and AQE reverts to SMJ when the
+        // dimension side exceeds the broadcast threshold.
+        val dims = rd(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(broadcast(rd(s, d, "customer")
+            .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
           .join(broadcast(rd(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(rd(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .select($"o_orderkey", $"r_name", $"n_name")
+        rd(s, d, "lineitem")
+          .select($"l_orderkey",
+            ($"l_extendedprice".cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
+              .as("term"))
+          .join(broadcast(dims), $"l_orderkey" === $"o_orderkey")
           .rollup($"r_name", $"n_name")
-          .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(4,2)")))
+          .agg(sum($"term")
             .cast("decimal(28,4)").as("rev"), grouping_id().as("gid"))
           .select($"gid".cast("long").as("lvl"),
             coalesce($"r_name", lit("ALL")).as("region"),

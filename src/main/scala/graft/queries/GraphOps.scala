@@ -41,8 +41,15 @@ object GraphOps {
       maxIter: Int = 25): DataFrame = {
     val spark = vertices.sparkSession
     // symmetric, deduplicated edge list — propagation must flow both ways
+    // pre-partitioned by dst BEFORE the checkpoint: localCheckpoint
+    // preserves the physical partitioning, so every round's propagate
+    // join exchanges ONLY the labels side — the r5 shape re-shuffled the
+    // (static) edge list once per round (guide §2.4: two operations
+    // keyed the same way share one exchange). The distinct() already
+    // requires a shuffle; keying it by dst makes it the reusable one.
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("comp"))

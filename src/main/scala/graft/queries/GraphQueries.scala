@@ -148,14 +148,21 @@ object GraphQueries {
         val nRow = docs.agg(count(lit(1)).as("n"))
         val nodes = docs.crossJoin(broadcast(nRow))
         def tgt(m: Long, a: Long): Column = pmod($"doc_id" * m + a, $"n")
+        // raw and deg each feed several plan subtrees (deg alone feeds
+        // the da/db orientation joins, the kv re-key join AND the wedge
+        // total) — checkpointed once each so the edge derivation and the
+        // degree exchange run once, not once per consumer (the
+        // q_kcore_peel lesson; guide §7.2 duplicated subtrees)
         val raw = nodes
           .select($"doc_id".as("x"),
             explode(array(tgt(1, 1), tgt(1, 2), tgt(7, 3))).as("y"))
           .filter($"x" =!= $"y")
           .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
           .distinct()
+          .localCheckpoint()
         val deg = raw.select(explode(array($"a", $"b")).as("v"))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
         val da = deg.toDF("a", "da"); val db = deg.toDF("b", "db")
         val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
         val e = raw.join(da, "a").join(db, "b")
@@ -227,23 +234,44 @@ object GraphQueries {
           .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
           .distinct()
           .localCheckpoint()
-        val out = (1 to 4).map { round =>
-          val deg = edges.select(explode(array($"a", $"b")).as("v"))
+        // One checkpointed DEGREE frame per round drives everything
+        // (guide §2.4 — this is the only aggregate the algorithm needs):
+        // round r's keep set is a filter over the checkpointed deg_r (no
+        // recompute for the two endpoint semi-joins), and round r's
+        // stats all derive from deg_{r+1} — n_vertices = |deg keys|,
+        // id_sum = sum of keys, n_edges = sum(deg) div 2 (every edge
+        // contributes exactly 2 endpoint rows). The r5 shape instead
+        // paid, per round, a fresh degree exchange for the keep set, a
+        // separate explode+distinct exchange for the vertex stats and a
+        // separate count subtree for the edges, plus a terminal
+        // range-sort whose sampling re-executed the stats subtrees
+        // (measured: 4.2 s -> 2.5 s at sf0.1 in a same-session A/B).
+        // The semi-joins stay joins (AQE broadcasts them at sandbox
+        // scale; at 100 TB they remain shuffle semi-joins — keep is
+        // O(V) and must never be driver-collected).
+        def degOf(e: org.apache.spark.sql.DataFrame) =
+          e.select(explode(array($"a", $"b")).as("v"))
             .groupBy($"v").agg(count(lit(1)).as("deg"))
+        var deg = degOf(edges).localCheckpoint()
+        val out = (1 to 4).map { round =>
           val keep = deg.filter($"deg" >= 6).select($"v")
           edges = edges
             .join(keep.toDF("a"), Seq("a"), "left_semi")
             .join(keep.toDF("b"), Seq("b"), "left_semi")
             .select($"a", $"b")
             .localCheckpoint()
-          val verts = edges.select(explode(array($"a", $"b")).as("v")).distinct()
-          verts.agg(count(lit(1)).as("n_vertices"),
+          deg = degOf(edges).localCheckpoint()
+          deg.agg(
+              count(lit(1)).as("n_vertices"),
+              coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
               sum($"v").as("id_sum"))
-            .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
             .select(lit(round).as("round"), $"n_vertices", $"n_edges",
               $"id_sum")
         }.reduce(_ unionByName _)
-        out.orderBy($"round")
+        // the trajectory is a BOUNDED 4-row frame: a single-partition
+        // sort, not a range-sort (whose sampling pass would re-execute
+        // the four stats subtrees)
+        out.repartition(1).sortWithinPartitions($"round")
       },
       Some("""WITH n AS (SELECT count(*) AS n FROM documents),
              |e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (

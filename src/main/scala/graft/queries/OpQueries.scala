@@ -178,14 +178,20 @@ object OpQueries {
     "What is the Infant Name?",
     "What is the Infant Date of Birth?")
 
-  /** Run a pure String=>String extractor over (doc_id, payload) rows. */
+  /** Run a pure String=>String extractor over (doc_id, payload) rows.
+    * The output-order exchange runs BELOW the extractor, on the narrow
+    * (doc_id, payload) input: a terminal orderBy above it would re-run
+    * the extraction once more for range-partition sampling
+    * (RangePartitioner consumes every child partition to sketch bounds);
+    * the 1:1 order-preserving mapPartitions keeps the global order.
+    */
   private def runStr(s: SparkSession, df: DataFrame, outCol: String)(
       f: String => String): DataFrame = {
     import s.implicits._
-    df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+    df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, p) => (id, f(p)) })
       .toDF("doc_id", outCol)
-      .orderBy(col("doc_id"))
   }
 
   val entries: Seq[(String, Entry)] = Seq(
@@ -403,13 +409,14 @@ object OpQueries {
         val payload = when(pmod($"doc_id", lit(5)) === 0, lit(""))
           .otherwise(concat(lit("plain words "), tok($"text", 1)))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        // output-order exchange below the 1:1 extractor (see runStr)
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val e = Extract.extractTurn(s"doc-$id", 0, p)
             (id, e.status, e.doc_type)
           })
           .toDF("doc_id", "status", "doc_type")
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  CASE WHEN doc_id % 5 = 0 THEN 'failed:empty' ELSE 'ok' END AS status,
@@ -435,12 +442,12 @@ object OpQueries {
         val df = rd(s, d, "documents")
           .select($"doc_id", fname.as("fname"), lit("no ladder words in this text").as("content"))
         df.select(col("doc_id").cast("long"), col("fname"), col("content"))
+          .orderBy(col("doc_id"))
           .as[(Long, String, String)]
           .mapPartitions(_.map { case (id, f, c) =>
             (id, Extract.classifyWithFilename(f, c))
           })
           .toDF("doc_id", "doc_type")
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, CASE doc_id % 6
              |  WHEN 0 THEN 'INSURANCE'
@@ -470,10 +477,12 @@ object OpQueries {
           // but not by the constructed oracle
           lit("-45-6789 ref 1234567 tail "),
           regexp_replace(tok($"text", 1), "[^a-z]", ""))
+        // sort the narrow scan first: the terminal orderBy re-ran the
+        // regex chain for range-partition sampling
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id",
             graft.functions.TextFunctions.redactPii(payload).as("redacted"))
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
               |  'reach <EMAIL> or call <PHONE> ssn <SSN> ref 1234567 tail '||regexp_replace($sqlTok1, '[^a-z]', '', 'g') AS redacted
@@ -494,14 +503,14 @@ object OpQueries {
         val qs = Seq("What is the Patient Name?", "What is the MRN?",
           "What is the Encounter Date?", "What is the Patient Address?")
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val dd = Extract.queryBank(qs, p)
             (id, Extract.fieldsToJson(dd),
               String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6))
           })
           .toDF("doc_id", "document_data", "confidence")
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
               |  '{"Encounter Date":"'||$sqlDate||'","MRN":"'||CAST(1000000 + doc_id AS VARCHAR)||'","Patient Address":"","Patient Name":"'||upper($sqlTok1)||', '||upper($sqlTok2)||'"}' AS document_data,
@@ -523,7 +532,8 @@ object OpQueries {
             concat(lit("\nRefills: "), pmod($"doc_id", lit(4)).cast("string")))
             .otherwise(lit("")))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val f = Extract.defaultsBank(p)
             (id, f("Name"), f("Age/DOB"), f("Address"), f("Date"),
@@ -531,7 +541,6 @@ object OpQueries {
           })
           .toDF("doc_id", "name", "age_dob", "address", "date_field",
             "rx", "refills", "signature")
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
               |  'Pat'||CAST(doc_id AS VARCHAR)||' Row'||CAST(doc_id % 7 AS VARCHAR) AS name,
@@ -599,13 +608,13 @@ object OpQueries {
         val payload = element_at(typedLit(RefClassifyCases.map(_._1)),
           pmod($"doc_id", lit(8)).cast("int") + 1)
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val (cls, n) = Extract.classifyReference(p)
             (id, cls, n)
           })
           .toDF("doc_id", "doc_type", "kw_count")
-          .orderBy($"doc_id")
       },
       Some {
         val arms = RefClassifyCases.zipWithIndex.map { case ((_, cls, n), i) =>
@@ -645,7 +654,14 @@ object OpQueries {
           (lit(50000) + pmod($"doc_id", lit(40000))).cast("string"),
           lit("\nGaruntor Name: "), gFirst, lit(" "), gLast,
           lit("\nGaruntor Phone number: (300) 555-0100"))
-        val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+        // output-order exchange FIRST, on the narrow (doc_id) scan: a
+        // terminal orderBy above the extractor re-executes the whole
+        // extraction for range-partition sampling (RangePartitioner
+        // consumes every child partition to sketch bounds); sorting the
+        // scan before the 1:1 order-preserving mapPartitions yields the
+        // same globally ordered output with the extractor run ONCE.
+        val df = rd(s, d, "documents").select($"doc_id").orderBy($"doc_id")
+          .select($"doc_id", payload.as("p"))
         df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val dd = Extract.queryBankBatched(Facesheet15Queries, p)
@@ -653,7 +669,6 @@ object OpQueries {
               String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6))
           })
           .toDF("doc_id", "n_keys", "document_data", "confidence")
-          .orderBy($"doc_id")
       },
       Some {
         val firstSql = s"($sqlKv4Firsts)[doc_id % 5 + 1]"
@@ -818,7 +833,8 @@ object OpQueries {
         val texts = Insurance11Queries.map(_._1)
         val mergedBank = Insurance11Queries :+ Insurance11Queries.head
         val df = rd(s, d, "documents").select(col("doc_id"), payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val dd = Extract.queryBankBatched(texts, p)
             val merged = Extract.queryBankMerged(mergedBank, p, batchSize = 6)
@@ -828,7 +844,6 @@ object OpQueries {
               merged)
           })
           .toDF("doc_id", "n_keys", "document_data", "confidence", "merged")
-          .orderBy(col("doc_id"))
       },
       Some {
         val firstSql = s"($sqlKv4Firsts)[doc_id % 5 + 1]"
@@ -874,7 +889,8 @@ object OpQueries {
       (s, d) => {
         import s.implicits._
         import graft.extract.Extract.LayoutSpan
-        rd(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        rd(s, d, "documents").select(col("doc_id").cast("long"))
+          .orderBy(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val (text, spans) = (id % 4) match {
               case 0 =>
@@ -900,7 +916,6 @@ object OpQueries {
               String.valueOf(Extract.detectSignatureFull(text, spans)))
           })
           .toDF("doc_id", "sig_geometry", "sig_full")
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  CASE WHEN doc_id % 4 = 0 THEN 'true' ELSE 'false' END AS sig_geometry,
@@ -1124,7 +1139,8 @@ object OpQueries {
           lpad(pmod($"doc_id", lit(900)).cast("string"), 3, "0"),
           lit("-45-6789 outro"))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val raw = Extract.piiSpans(p)
             val merged = Extract.mergeSpans(raw)
@@ -1133,7 +1149,6 @@ object OpQueries {
             (id, redacted, raw.size.toLong, merged.size.toLong, cut.toLong)
           })
           .toDF("doc_id", "redacted", "n_raw", "n_merged", "cut_chars")
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
               |  'intro '||regexp_replace($sqlTok1, '[^a-z]', '', 'g')||' email [PII:1] mid phone [PII:2] words '||regexp_replace($sqlTok2, '[^a-z]', '', 'g')||' ssn [PII:2] outro' AS redacted,
@@ -1159,14 +1174,15 @@ object OpQueries {
       (s, d) => {
         import s.implicits._
         val df = rd(s, d, "documents").select(col("doc_id"), payload.as("p"))
-        df.select(col("doc_id").cast("long"), col("p")).as[(Long, String)]
+        // output-order exchange below the 1:1 extractor (see runStr)
+        df.select(col("doc_id").cast("long"), col("p")).orderBy(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             val dd = Extract.queryBankBatched(bank, p)
             (id, dd.size, Extract.fieldsToJson(dd),
               String.valueOf(math.rint(Extract.confidenceA1(dd) * 1e6) / 1e6))
           })
           .toDF("doc_id", "n_keys", "document_data", "confidence")
-          .orderBy(col("doc_id"))
       },
       Some {
         val (nKeys, jsonSql) = bankJsonSql(bank, answeredSql)

@@ -132,11 +132,22 @@ object PipelineQueries {
     * size); scoring pass: row-local compiled scan (hashedGramMicroSum),
     * zero data shuffle.
     */
-  private def lmNllFrame(s: SparkSession, d: String): DataFrame = {
+  private def lmNllFrame(s: SparkSession, d: String,
+      sorted: Boolean = false): DataFrame = {
     import s.implicits._
     val B = 1024
     val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
     val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
+    // `sorted`: scoring consumers that need doc_id OUTPUT order
+    // (ta_lm_perplexity) score a doc_id-sorted scan — the 1:1 scoring
+    // projection preserves it, so they pay no terminal sort over the
+    // scored rows. The MODEL pass below always uses the unsorted scan
+    // (aggregation cares nothing for order; sorting it first would cost
+    // a corpus text exchange per model build).
+    val scoreDocs =
+      if (!sorted) docs
+      else rd(s, d, "documents").select($"doc_id", $"lang", $"text")
+        .orderBy($"doc_id").select($"doc_id", $"lang", toks.as("toks"))
     val m: Seq[(Long, Long)] = docs
       .select(explode(hashedGramBuckets($"toks", 1, LmSeed, B)).as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("c"))
@@ -148,7 +159,7 @@ object PipelineQueries {
     val cnt = m.toMap
     val table = Array.tabulate(B)(b =>
       micro((cnt.getOrElse(b.toLong, 0L) + 1.0) / (total + B.toDouble)))
-    docs
+    scoreDocs
       .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"),
         hashedGramMicroSum($"toks", 1, LmSeed, table).as("sm"))
       .select($"doc_id", $"lang", $"n_tok",
@@ -313,12 +324,16 @@ object PipelineQueries {
             pmod($"doc_id", lit(50)).cast("string")),
           concat(lit("Unique content "), tok($"text", 1),
             lit(" of document "), $"doc_id".cast("string")))
+        // owner-selection as a window min over the SAME h-partitioning the
+        // rows already need, not an aggregate + self-join: the r5 shape
+        // scanned/exploded the corpus twice and shuffled both join sides
+        // (plan: 3 corpus exchanges -> 1 window exchange; guide §2.4)
         val paras = rd(s, d, "documents")
           .select($"doc_id", posexplode(split(payload, "\n")).as(Seq("idx", "para")))
           .withColumn("h", md5($"para"))
-        val owner = paras.groupBy($"h")
-          .agg(min(struct($"doc_id", $"idx")).as("o"))
-        paras.join(owner, "h")
+        val wOwner = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+        paras
+          .withColumn("o", min(struct($"doc_id", $"idx")).over(wOwner))
           .where($"doc_id" === $"o.doc_id" && $"idx" === $"o.idx")
           .groupBy($"doc_id")
           .agg(array_join(
@@ -356,7 +371,11 @@ object PipelineQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = rd(s, d, "documents")
           .select($"doc_id".as("id"), md5($"text").as("h"), tokens($"text").as("p"))
+        // materialized once: withRep feeds the exact-dup branch AND the
+        // rep/LSH branch of the union — without the checkpoint the
+        // tokenize+md5 scan and the h-window exchange ran once per branch
         val withRep = docs.withColumn("rep", min($"id").over(Window.partitionBy($"h")))
+          .localCheckpoint()
         val exactDups = withRep.filter($"id" =!= $"rep")
           .select($"id".as("doc_id"), $"rep".as("dup_of"), lit("exact").as("kind"))
         val reps = withRep.filter($"id" === $"rep").select($"id", $"p")
@@ -658,28 +677,33 @@ object PipelineQueries {
         import s.implicits._
         val probeLits = Seq("table value", "join small", "window the",
           "fast slow", "zzz missing")
-        val docs = rd(s, d, "documents").select($"doc_id", $"text")
-        val grams3 = (c: Column) => array_distinct(transform(
-          sequence(lit(1), greatest(length(c) - 2, lit(1))),
-          i => substring(c, i, lit(3))))
-        val postings = docs
-          .select($"doc_id", explode(grams3($"text")).as("g"))
-        val probes = probeLits.toDF("probe")
-          .withColumn("n_g", size(grams3($"probe")))
-          .withColumn("g", explode(grams3($"probe")))
-        val cands = postings.join(broadcast(probes), "g")
-          .groupBy($"probe", $"n_g", $"doc_id")
-          .agg(countDistinct($"g").as("hit"))
-          .filter($"hit" === $"n_g")
-        val verified = cands.join(docs, "doc_id")
-          .groupBy($"probe")
-          .agg(count(lit(1)).as("n_candidates"),
-            count(when(col("text").contains(col("probe")), 1))
-              .as("n_matches"))
-        probeLits.toDF("probe").join(verified, Seq("probe"), "left")
-          .select($"probe",
-            coalesce($"n_candidates", lit(0L)).as("n_candidates"),
-            coalesce($"n_matches", lit(0L)).as("n_matches"))
+        // The probe set is a compile-time constant, so the r5 postings
+        // build (per-char trigram array + array_distinct + explode +
+        // gram-keyed exchange + countDistinct — O(total chars) rows
+        // shuffled) is strictly more work than evaluating the candidate
+        // predicate row-locally: a doc's trigram SET contains gram g
+        // iff contains(text, g), so "holds ALL probe grams" is a
+        // conjunction of codegen'd contains() calls, and the exact
+        // verify is one more contains(probe). One corpus scan, ZERO
+        // gram shuffles, one single-row aggregate; counts per probe are
+        // unchanged (contains(probe) implies every gram matches). The
+        // postings-index topology for amortizing MANY probes remains
+        // covered by ta_inverted_index.
+        def grams(p: String): Seq[String] =
+          (1 to math.max(p.length - 2, 1))
+            .map(i => p.substring(i - 1, math.min(i + 2, p.length))).distinct
+        val docs = rd(s, d, "documents").select($"text")
+        val aggCols = probeLits.zipWithIndex.flatMap { case (p, i) =>
+          val cand = grams(p).map(g => $"text".contains(lit(g))).reduce(_ && _)
+          Seq(count(when(cand, 1)).as(s"nc$i"),
+            count(when($"text".contains(lit(p)), 1)).as(s"nm$i"))
+        }
+        docs.agg(aggCols.head, aggCols.tail: _*)
+          .select(explode(array(probeLits.zipWithIndex.map { case (p, i) =>
+            struct(lit(p).as("probe"), col(s"nc$i").as("n_candidates"),
+              col(s"nm$i").as("n_matches"))
+          }: _*)).as("r"))
+          .select($"r.probe", $"r.n_candidates", $"r.n_matches")
           .orderBy($"probe")
       },
       Some("""WITH probes AS (SELECT unnest(['table value','join small','window the','fast slow','zzz missing']) AS probe),
@@ -1104,8 +1128,8 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", langId($"text").as("lang_guess"))
-          .orderBy($"doc_id")
       },
       Some {
         val lex = LangLexicons.map { case (lang, ws) =>
@@ -1132,8 +1156,8 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", qualityScore($"text").as("quality"))
-          .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (${sqlQualityFrom("documents")})
               |SELECT doc_id, $sqlQualityExpr AS quality
@@ -1143,9 +1167,9 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", wsTokenCount($"text").as("ws_tokens"),
             bpeishTokenCount($"text").as("bpeish_tokens"))
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS ws_tokens,
@@ -1164,9 +1188,13 @@ object PipelineQueries {
     "ta_tfidf_topk" -> Entry(
       (s, d) => {
         import s.implicits._
+        // tokenized once (checkpoint): tf feeds the DF aggregate AND the
+        // scoring join — without it the wordGramCounts scan+explode ran
+        // twice (plus once more for the terminal sort's range sampling)
         val tf = rd(s, d, "documents")
           .select($"doc_id", explode(wordGramCounts($"text", 1)).as("p"))
           .select($"doc_id", $"p.g".as("term"), $"p.c".as("tf"))
+          .localCheckpoint()
         val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val n = rd(s, d, "documents").agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
@@ -1560,10 +1588,9 @@ object PipelineQueries {
             lit("HTTP://API.Service.IO/v1/Query?q="), tok($"text", 1),
             lit("&gclid=zzz&page=2")))
         val df = rd(s, d, "documents")
-          .select($"doc_id", url.as("u"))
+          .select($"doc_id", url.as("u")).orderBy($"doc_id")
         df.select($"doc_id", urlCanon($"u").as("canon_url"),
             urlHost($"u").as("host"))
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id, CASE doc_id % 4
               |  WHEN 0 THEN 'https://example'||CAST(doc_id % 7 AS VARCHAR)||'.com/Products/Item/'||CAST(doc_id AS VARCHAR)||'?ref=home'
@@ -1728,7 +1755,14 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         val txt = lower(substring(regexp_replace($"text", "[^ -~]", ""), 1, 400))
+        // the regex-cleaned 400-char prefix is computed ONCE (checkpoint,
+        // ~400 B/doc) instead of once for the model pass and again for
+        // the scoring pass; the frame is checkpointed already SORTED by
+        // doc_id so the scoring projection (1:1, order-preserving) needs
+        // no terminal sort — the r5 terminal orderBy re-ran the scoring
+        // scan for range-partition sampling.
         val docs = rd(s, d, "documents").select($"doc_id", txt.as("t"))
+          .orderBy($"doc_id").localCheckpoint()
         val bgs = when(length($"t") >= 2,
           transform(sequence(lit(1), length($"t") - 1),
             i => $"t".substr(i, lit(2))))
@@ -1741,7 +1775,6 @@ object PipelineQueries {
             when(length($"t") >= 2, length($"t") - 1).otherwise(0).as("n_bg"),
             bigramHits($"t", model).as("n_hit"))
           .withColumn("score", when($"n_bg" > 0, round($"n_hit" / $"n_bg", 6)))
-          .orderBy($"doc_id")
       },
       Some("""WITH t AS (SELECT doc_id,
              |  lower(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 400)) AS t
@@ -1883,6 +1916,7 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", gopherStats($"text").as("g"))
           .select($"doc_id", $"g.n_words".as("n_words"),
             round(($"g.n_words" - $"g.n_distinct") / $"g.n_words", 6)
@@ -1891,7 +1925,6 @@ object PipelineQueries {
             round($"g.top_n" / ($"g.n_words" - 1), 6).as("top_bigram_frac"))
           .withColumn("keep", $"dup_word_frac" <= 0.2 &&
             coalesce($"top_bigram_frac" <= 0.18, lit(true)))
-          .orderBy($"doc_id")
       },
       Some("""WITH w AS (SELECT doc_id,
              |  list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
@@ -1939,6 +1972,7 @@ object PipelineQueries {
             lit("count symbols # # # # # # here with the of and that"))
           .otherwise(concat($"text", lit(" the of and that have with")))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+          .orderBy($"doc_id")
         val ws = filter(split($"p", "\\s+"), x => length(x) > 0)
         val nWords = size(ws)
         val meanWlen = round(
@@ -1973,7 +2007,6 @@ object PipelineQueries {
             $"sym_ratio" <= 0.1 && $"bullet_frac" <= 0.9 &&
             $"ellipsis_frac" <= 0.3 && $"alpha_frac" >= 0.8 &&
             $"stop_hits" >= 2)
-          .orderBy($"doc_id")
       },
       Some("""WITH pay AS (SELECT doc_id, CASE doc_id % 4
              |    WHEN 0 THEN text
@@ -2025,6 +2058,7 @@ object PipelineQueries {
           .when(m3 === 1, concat(base, lit("\nlorem ipsum dolor sit amet.")))
           .otherwise(concat(base, lit("\nfunction f() { return; }.")))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
+          .orderBy($"doc_id")
         val lines = split($"p", "\n")
         val keptLines = filter(lines, l =>
           l.rlike("[.!?\"]$") &&
@@ -2038,7 +2072,6 @@ object PipelineQueries {
             (nSent >= 5 && !lower($"p").contains("lorem ipsum") &&
               !$"p".contains("{")).as("keep"),
             substring(clean, 1, 60).as("clean_prefix"))
-          .orderBy($"doc_id")
       },
       Some(s"""WITH pay AS (SELECT doc_id,
               |  'This is a good first sentence.'||chr(10)||'Short line'||chr(10)||'Another proper sentence appears right here.'||chr(10)||'var x = 1; // javascript inline.'||chr(10)||'A third full sentence ends with punctuation.'||chr(10)||'A fourth complete sentence closes this paragraph.'||chr(10)||'A fifth sentence '||$sqlTok1||' makes the quota.'
@@ -2066,8 +2099,8 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", polyHash($"text", 64).as("fp"))
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id,
               |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2262,10 +2295,9 @@ object PipelineQueries {
     "ta_lm_perplexity" -> Entry(
       (s, d) => {
         import s.implicits._
-        lmNllFrame(s, d)
+        lmNllFrame(s, d, sorted = true)
           .select($"doc_id", $"n_tok", $"nll")
           .withColumn("keep", coalesce($"nll" <= 3.45, lit(false)))
-          .orderBy($"doc_id")
       },
       Some(s"""WITH $sqlLmNllCte
               |SELECT doc_id, n_tok, nll,
@@ -2292,9 +2324,14 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // materialized once: base feeds both the bucket summary and the
+        // phase-2 join (and the terminal sort's range-sampling pass) —
+        // without the checkpoint the whole LM scoring scan re-ran per
+        // subtree. Narrow frame: (doc_id, lang, nll, qb).
         val base = lmNllFrame(s, d).filter($"n_tok" > 0)
           .select($"doc_id", $"lang", $"nll")
           .withColumn("qb", floor($"nll" * 1000).cast("long"))
+          .localCheckpoint()
         // phase 1: bounded per-(lang, nll-bucket) summary; every window
         // below this point ranges over the summary, never the documents
         val bs = base.groupBy($"lang", $"qb").agg(count(lit(1)).as("c"))
@@ -2348,6 +2385,11 @@ object PipelineQueries {
         val B = 256
         val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
         val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
+        // scoring pass over a doc_id-sorted scan (1:1 projection keeps
+        // the output order — no terminal sort re-running the scorer);
+        // the model pass keeps the unsorted scan (order-free aggregate)
+        val scoreDocs = rd(s, d, "documents").select($"doc_id", $"lang", $"text")
+          .orderBy($"doc_id").select($"doc_id", $"lang", toks.as("toks"))
         val m: Seq[(Long, Long, Long)] = docs
           .select($"lang",
             explode(hashedGramBuckets($"toks", 2, DsirSeed, B)).as("bucket"))
@@ -2363,13 +2405,12 @@ object PipelineQueries {
           b -> micro((tc + 1.0) / (rc + 1.0)) }.toMap
         val table = Array.tabulate(B)(b => lrm.getOrElse(b.toLong, 0L))
         val cMicro = micro((tR + B.toDouble) / (tT + B.toDouble))
-        docs
+        scoreDocs
           .select($"doc_id",
             greatest(size($"toks") - 1, lit(0)).cast("long").as("n_bg"),
             hashedGramMicroSum($"toks", 2, DsirSeed, table).as("sm"))
           .select($"doc_id", $"n_bg",
             round(($"sm" + $"n_bg" * lit(cMicro)) / 1e6, 6).as("weight"))
-          .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,
               |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
@@ -2492,6 +2533,7 @@ object PipelineQueries {
         import s.implicits._
         val p = charEntropyParts($"text")
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", p.as("p"))
           .select($"doc_id", element_at($"p", 1).as("n_chars"),
             when(element_at($"p", 1) > 0,
@@ -2500,7 +2542,6 @@ object PipelineQueries {
               .as("entropy_nats"))
           .withColumn("keep",
             coalesce($"entropy_nats".between(2.67, 3.5), lit(false)))
-          .orderBy($"doc_id")
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
              |  FROM documents),
@@ -2534,10 +2575,9 @@ object PipelineQueries {
             .otherwise(lit("clean ascii line"))
         val payload = concat($"text", lit(" "), dirty)
         rd(s, d, "documents")
-          .select($"doc_id", payload.as("payload"))
+          .select($"doc_id", payload.as("payload")).orderBy($"doc_id")
           .select($"doc_id", fixMojibake($"payload").as("fixed"),
             (fixMojibake($"payload") =!= $"payload").as("was_mojibake"))
-          .orderBy($"doc_id")
       },
       Some {
         val cases =
@@ -2646,11 +2686,20 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // materialized once (localCheckpoint): the scored frame feeds
+        // FOUR plan subtrees (total-budget agg, bucket summary, the
+        // above-boundary filter branch, the boundary-bucket window
+        // branch) and the terminal sort's range-sampling pass — without
+        // the checkpoint the wsTokenCount+qualityScore scan re-ran per
+        // subtree (guide §7.2 duplicated subtrees; measured 2.13 s ->
+        // 0.9 s at sf0.1). The checkpoint is (doc_id, n_tok, q, qb) —
+        // four narrow columns, corpus-row-count sized.
         val scored = rd(s, d, "documents")
           .select($"doc_id".cast("long").as("doc_id"),
             wsTokenCount($"text").cast("long").as("n_tok"),
             qualityScore($"text").as("q"))
           .withColumn("qb", floor($"q" * 100).cast("long"))
+          .localCheckpoint()
         val tot = scored.agg(
           floor(sum($"n_tok") / 3).cast("long").as("budget"))
         val bs = scored.groupBy($"qb").agg(sum($"n_tok").as("s"))
@@ -2718,8 +2767,12 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import graft.plans.BloomExprs._
+        // hashed once (checkpoint): base feeds the Bloom build, the probe
+        // side, and the exact anti-join's history side — three subtrees
+        // that each re-ran the md5 scan in the r5 plan
         val base = rd(s, d, "documents")
           .select($"doc_id".cast("long").as("doc_id"), md5($"text").as("h"))
+          .localCheckpoint()
         val hist = base.filter($"doc_id" % 5 =!= 0)
         val nw = base.filter($"doc_id" % 5 === 0)
         // size the filter from the actual table cardinality (parquet
@@ -2771,13 +2824,16 @@ object PipelineQueries {
         val cap = 64
         val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
           w => length(w) > 0)
+        // no pre-distinct: collect_set dedups (doc_id, win) repeats inside
+        // the ONE win-keyed aggregation, so the r5 .distinct() was a full
+        // extra exchange+sort of every window string for nothing
+        // (guide §2.4 — remove shuffles outright; plan: 3 Exchange -> 2)
         val wins = rd(s, d, "documents")
           .select($"doc_id", seqToks.as("tk"))
           .filter(size($"tk") >= W)
           .select($"doc_id", explode(transform(
             sequence(lit(0), size($"tk") - W),
             i => array_join(slice($"tk", i + 1, lit(W)), " "))).as("win"))
-          .distinct()
         val grouped = wins.groupBy($"win")
           .agg(sort_array(collect_set($"doc_id")).as("ds"))
           .filter(size($"ds") >= 2 && size($"ds") <= cap)

@@ -140,12 +140,21 @@ object SketchQueries {
         def cellOf(i: Int) = struct(
           lit(i).as("r"),
           pmod(polyHashStr($"token", CmsSeeds(i)), lit(CmsW.toLong)).as("cl"))
-        val cells = tk
-          .select(explode(array((0 until 4).map(cellOf): _*)).as("rc"))
-          .select($"rc.r".as("r"), $"rc.cl".as("cl"))
-          .groupBy($"r", $"cl")
-          .agg(count(lit(1)).as("c"))
+        // ONE tokenize+explode scan: the exact df aggregate is computed
+        // first, and the sketch cells derive from it — a cell's count is
+        // sum(df) over the tokens hashing into it, identical to counting
+        // raw occurrences but over |vocab| rows instead of the full
+        // occurrence stream (guide §2.3: aggregate before you shuffle;
+        // the r5 plan tokenized the corpus twice). df is checkpointed
+        // because it also feeds the probe top-10 and the probe cells.
         val df = tk.groupBy($"token").agg(count(lit(1)).as("df_exact"))
+          .localCheckpoint()
+        val cells = df
+          .select($"df_exact",
+            explode(array((0 until 4).map(cellOf): _*)).as("rc"))
+          .select($"df_exact", $"rc.r".as("r"), $"rc.cl".as("cl"))
+          .groupBy($"r", $"cl")
+          .agg(sum($"df_exact").as("c"))
         val probe = df.orderBy($"df_exact".desc, $"token").limit(10)
         val pc = probe
           .select($"token", $"df_exact",

@@ -18,24 +18,31 @@ object XQueries {
 
   import Q.{tok, cap, dateCol, sqlTok1, sqlTok2, sqlCap, sqlDate}
 
-  /** Run the real extractor over (doc_id, payload) rows. */
+  /** Run the real extractor over (doc_id, payload) rows. The
+    * output-order exchange runs BELOW the extractor, on the narrow
+    * (doc_id, payload) input: a terminal orderBy above it re-ran the
+    * whole extraction once more for range-partition sampling
+    * (RangePartitioner consumes every child partition to sketch
+    * bounds); the 1:1 order-preserving mapPartitions + projection keep
+    * the global order.
+    */
   private def runExtractor(s: SparkSession, df: DataFrame)(
       project: graft.model.ExtractedTurn => Seq[Any],
       schema: Seq[String]): DataFrame = {
     import s.implicits._
     val rows = df.select(col("doc_id").cast("long"), col("p"))
+      .orderBy(col("doc_id"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val e = Extract.extractTurn(s"doc-$id", 0, text)
         (id, project(e).map(String.valueOf))
       })
     // expand the stringly-projected values into named columns
-    val out = rows.select(
+    rows.select(
       (col("_1").as("doc_id") +:
         schema.zipWithIndex.map { case (n, i) =>
           element_at(col("_2"), i + 1).as(n)
         }): _*)
-    out.orderBy(col("doc_id"))
   }
 
   /** The facesheet-shaped payload shared by x_pipeline_facesheet and the
@@ -218,13 +225,15 @@ object XQueries {
           (lit(10000) + pmod($"doc_id", lit(90000))).cast("string"),
           lit("\nCopay: $"), (lit(5) + pmod($"doc_id", lit(45))).cast("string"))
         val et = call_function("extract_turn", payload)
+        // output-order exchange on the narrow scan, below the extractor
+        // expression (the terminal orderBy re-ran it for range sampling)
         rd(s, d, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id",
             et.getField("doc_type").as("doc_type"),
             et.getField("signature_present").cast("string").as("signature_present"),
             round(et.getField("confidence"), 6).cast("string").as("confidence"),
             et.getField("status").as("status"))
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  'INSURANCE' AS doc_type,
@@ -309,7 +318,12 @@ object XQueries {
           lit("Patient Name:  W"), tok($"text", 1),
           lit("  \nno anchor here\nMRN: M"), $"doc_id".cast("string"),
           lit("\nEmpty Value:   \n:nokey"))
+        // early output-order exchange: anchorSpans emits spans in text
+        // order (ascending vstart), so sorting the narrow input by doc_id
+        // and flatMapping 1:n in-order yields the (doc_id, vstart) total
+        // order without re-running the extractor for range sampling
         rd(s, d, "documents").select($"doc_id".cast("long"), payload.as("p"))
+          .orderBy($"doc_id")
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, p) =>
             Extract.anchorSpans(p).map { case (k, st, ln, v) =>
@@ -318,7 +332,6 @@ object XQueries {
             }
           })
           .toDF("doc_id", "k", "vstart", "vlen", "v", "roundtrip")
-          .orderBy($"doc_id", $"vstart")
       },
       Some("""WITH src AS (
              |  SELECT doc_id, 'W'||string_split(text,' ')[1] AS v1 FROM documents)
@@ -356,6 +369,7 @@ object XQueries {
           "What is the Encounter Date?", "What is the Patient Address?")
         val js = rd(s, d, "documents")
           .select(col("doc_id").cast("long"), payload.as("p"))
+          .orderBy($"doc_id")
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, p) =>
             (id, Extract.fieldsToJson(Extract.queryBank(bank, p)))
@@ -375,7 +389,6 @@ object XQueries {
             $"st".getField("Encounter Date").as("enc_date"),
             $"st".getField("Patient Address").as("addr"),
             size($"m").cast("long").as("n_fields"))
-          .orderBy($"doc_id")
       },
       Some(s"""SELECT doc_id, CAST(1000000 + doc_id AS BIGINT) AS mrn,
               |  upper($sqlTok1)||', '||upper($sqlTok2) AS pname,
