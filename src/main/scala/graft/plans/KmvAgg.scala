@@ -40,6 +40,16 @@ case class KmvAgg(
   extends TypedImperativeAggregate[KmvSketch]
   with UnaryLike[Expression] {
 
+  // reject non-long children at analysis time: update() casts the child
+  // value to Long, so a mis-typed column would otherwise surface as an
+  // executor-side ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch requires a BIGINT child, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
 
   override def update(b: KmvSketch, input: InternalRow): KmvSketch = {

@@ -130,7 +130,10 @@ object OlapQueries {
     "q_snapshot_diff" -> Entry(
       (s, d) => {
         import s.implicits._
+        // hashed once: docs feeds both snapshot sides of the full-outer
+        // join (the r5 plan md5-scanned the corpus per side)
         val docs = rd(s, d, "documents").select($"doc_id", md5($"text").as("h"))
+          .localCheckpoint()
         val old = docs.filter(pmod($"doc_id", lit(7)) =!= 0)
           .select($"doc_id", $"h".as("oh"))
         val nw = docs.filter(pmod($"doc_id", lit(11)) =!= 3)
@@ -176,11 +179,17 @@ object OlapQueries {
       (s, d) => {
         import s.implicits._
         val ev = rd(s, d, "events").select($"user_id", $"event_type", $"ts")
+        // per-stage frames checkpointed: stage k feeds BOTH the next
+        // stage's join and its own count leg of the output union — the
+        // r5 plan re-ran the whole prefix chain per union leg (the view
+        // subtree executed 3x, click 2x)
         val v = ev.filter($"event_type" === "view")
           .groupBy($"user_id").agg(min($"ts").as("t_view"))
+          .localCheckpoint()
         val c = ev.filter($"event_type" === "click").join(v, "user_id")
           .filter($"ts" > $"t_view")
           .groupBy($"user_id").agg(min($"ts").as("t_click"))
+          .localCheckpoint()
         val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
           .filter($"ts" > $"t_click")
           .groupBy($"user_id").agg(min($"ts").as("t_purchase"))

@@ -200,17 +200,25 @@ object PipelineQueries {
     */
   private def bandedIdPairs(items: DataFrame, bands: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // capped band buckets materialized ONCE: both sides of the candidate
+    // self-join read the checkpoint instead of re-running the signature/
+    // band explode + bucket-cap window per side (guide §7.2)
     val banded = items.select(explode(bands).as("band"), col("id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band")).orderBy(col("id"))))
       .filter(col("rn") <= BandBucketCap)
       .select(col("band"), col("id"))
+      .localCheckpoint()
     banded.select(col("band"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
+  /** Callers should pass `items` pre-checkpointed when its payload
+    * column is expensive (shingle/signature arrays): it is read by the
+    * band explode and by BOTH payload re-attach joins below.
+    */
   private def bandedPairs(items: DataFrame, bands: Column): DataFrame =
     bandedIdPairs(items, bands)
       .join(items.select(col("id").as("id_a"), col("p").as("p_a")), Seq("id_a"))
@@ -459,8 +467,11 @@ object PipelineQueries {
     "dd_minhash_lsh" -> Entry(
       (s, d) => {
         import s.implicits._
+        // shingle arrays computed once: items feeds the band explode and
+        // both payload re-attach joins inside bandedPairs
         val items = rd(s, d, "documents").filter($"doc_id" < 200)
           .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+          .localCheckpoint()
         bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
           .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
           .filter($"jac" >= 0.4)
@@ -499,6 +510,7 @@ object PipelineQueries {
         import s.implicits._
         val items = rd(s, d, "documents").filter($"doc_id" < 200)
           .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+          .localCheckpoint()
         val edges = bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
           .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
           .filter($"jac" >= 0.4)
@@ -542,6 +554,7 @@ object PipelineQueries {
         val docs = rd(s, d, "documents").filter($"doc_id" < 200)
         val items = docs
           .select($"doc_id".as("id"), shingles($"text", 5, 2000).as("p"))
+          .localCheckpoint()
         val edges = bandedPairs(items, lshBands(minHashSig(col("p"), 6), 3, 2))
           .withColumn("jac", round(jaccard($"p_a", $"p_b"), 6))
           .filter($"jac" >= 0.4)
@@ -628,6 +641,7 @@ object PipelineQueries {
         // vec_id + 100000 would COLLIDE with real ids on a 100k+ table
         val corpus = e.select($"vec_id".as("id"), toDouble($"embedding").as("p"))
           .unionByName(e.select(($"vec_id" + lit(1000000000000L)).as("id"), pert.as("p")))
+          .localCheckpoint()
         bandedPairs(corpus, lshBucketBandsNative(col("p"), 4, 8, 64))
           .withColumn("cos", round(cosine($"p_a", $"p_b"), 6))
           .filter($"cos" >= 0.999)
@@ -1665,8 +1679,11 @@ object PipelineQueries {
           .select($"doc_id", $"source", wsTokenCount($"text").as("ws_tokens"),
             ($"doc_id" / 1000).cast("long").as("bkt"))
         val wB = Window.partitionBy($"source", $"bkt").orderBy($"doc_id")
+        // tokenized + bucket-cumsum once: inBkt feeds the bucket-total
+        // summary AND the base re-attach join
         val inBkt = t.withColumn("run_in_bkt",
           sum($"ws_tokens".cast("long")).over(wB))
+          .localCheckpoint()
         val wT = Window.partitionBy($"source").orderBy($"bkt")
           .rowsBetween(Window.unboundedPreceding, -1)
         val bktBase = inBkt.groupBy($"source", $"bkt")

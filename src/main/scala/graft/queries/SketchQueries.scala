@@ -54,8 +54,18 @@ object SketchQueries {
     "sk_hll_distinct" -> Entry(
       (s, d) => {
         import s.implicits._
+        // ONE tokenize pass + ONE occurrence-level shuffle: HLL register
+        // updates are multiplicity-blind (max rho over a register), so
+        // both the sketch AND the exact audit arm run over the DISTINCT
+        // (source, token) frame — collapsed first, checkpointed (it is
+        // vocabulary-bounded, far smaller than the occurrence stream the
+        // r5 plan tokenized and shuffled twice), md5 computed once per
+        // distinct token instead of once per occurrence.
         val tk = rd(s, d, "documents")
           .select($"source", explode(tokens($"text")).as("token"))
+          .groupBy($"source", $"token").agg(count(lit(1)).as("occ"))
+          .select($"source", $"token")
+          .localCheckpoint()
         val h = md5($"token")
         val hx = substring(h, 3, 15)
         val zeros = length(regexp_extract(hx, "^0*", 0))
@@ -76,7 +86,7 @@ object SketchQueries {
           .agg(count(lit(1)).as("n_used"), sum($"term").as("s_used"))
           .withColumn("s_int", $"s_used" + (lit(256L) - $"n_used") * lit(Scale))
         val exact = tk.groupBy($"source")
-          .agg(countDistinct($"token").as("n_exact"))
+          .agg(count(lit(1)).as("n_exact"))
         val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
         val rawEst = alpha * lit(65536.0) *
           (lit(Scale.toDouble) / $"s_int".cast("double"))

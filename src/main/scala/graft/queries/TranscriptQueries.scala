@@ -941,13 +941,17 @@ object TranscriptQueries {
     "tr_turn_novelty" -> Entry(
       (s, d) => {
         import s.implicits._
-        val toks = transcripts(s, d)
+        // first-seen turn as a window min over the SAME (conv_id, tok)
+        // clustering the rows need anyway — the r5 agg + self-join shape
+        // tokenized and exploded the corpus twice and shuffled both join
+        // sides (guide §2.4; plan: 2 token-level exchanges -> 1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"conv_id", $"tok")
+        transcripts(s, d)
           .select($"conv_id", $"turn_idx",
             explode(array_distinct(split($"text", " "))).as("tok"))
           .filter(length($"tok") > 0)
-        val firstSeen = toks.groupBy($"conv_id", $"tok")
-          .agg(min($"turn_idx").as("first_turn"))
-        toks.join(firstSeen, Seq("conv_id", "tok"))
+          .withColumn("first_turn", min($"turn_idx").over(w))
           .groupBy($"conv_id", $"turn_idx")
           .agg(count(lit(1)).as("n_distinct_toks"),
             count(when($"first_turn" === $"turn_idx", 1)).as("n_novel"))
