@@ -132,34 +132,25 @@ object PipelineQueries {
     * size); scoring pass: row-local compiled scan (hashedGramMicroSum),
     * zero data shuffle.
     */
-  private def lmNllFrame(s: SparkSession, d: String,
-      sorted: Boolean = false): DataFrame = {
+  private def lmNllFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val B = 1024
     val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
     val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
-    // `sorted`: scoring consumers that need doc_id OUTPUT order
-    // (ta_lm_perplexity) score a doc_id-sorted scan — the 1:1 scoring
-    // projection preserves it, so they pay no terminal sort over the
-    // scored rows. The MODEL pass below always uses the unsorted scan
-    // (aggregation cares nothing for order; sorting it first would cost
-    // a corpus text exchange per model build).
-    val scoreDocs =
-      if (!sorted) docs
-      else rd(s, d, "documents").select($"doc_id", $"lang", $"text")
-        .orderBy($"doc_id").select($"doc_id", $"lang", toks.as("toks"))
-    val m: Seq[(Long, Long)] = docs
-      .select(explode(hashedGramBuckets($"toks", 1, LmSeed, B)).as("bucket"))
-      .groupBy($"bucket").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val total = m.map(_._2).sum
+    // model pass via the native bounded-state histogram aggregate
+    // (plans.BigramHistAgg.hashedGramHist): one compiled pass, O(1024)
+    // state per task, ONE merged row — the r5 shape exploded one row
+    // per token occurrence through a Generate + bucket-keyed aggregate
+    val hist: Seq[Long] = docs
+      .agg(graft.plans.BigramHistAgg.hashedGramHist($"toks", 1, LmSeed, B).as("h"))
+      .collect()(0).getSeq[Long](0)
+    val total = hist.sum
     def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
     // dense bucket -> micro-ln p table; buckets no token hashed to
     // get the smoothed default and are unreachable by construction
-    val cnt = m.toMap
     val table = Array.tabulate(B)(b =>
-      micro((cnt.getOrElse(b.toLong, 0L) + 1.0) / (total + B.toDouble)))
-    scoreDocs
+      micro((hist(b) + 1.0) / (total + B.toDouble)))
+    docs
       .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"),
         hashedGramMicroSum($"toks", 1, LmSeed, table).as("sm"))
       .select($"doc_id", $"lang", $"n_tok",
@@ -987,6 +978,8 @@ object PipelineQueries {
           .select($"doc_id", $"media_type", $"n_bytes",
             round(element_at($"features", 1), 6).as("f0"),
             round(element_at($"features", 2), 6).as("f1"))
+          // narrow-output checkpoint + narrow sort (see ta_langid)
+          .localCheckpoint()
           .orderBy($"doc_id")
       },
       Some {
@@ -1016,7 +1009,7 @@ object PipelineQueries {
     "mm_png_header" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ids = rd(s, d, "documents").select($"doc_id")
+        val ids = rd(s, d, "documents").select($"doc_id").orderBy($"doc_id")
         val media = Multimodal.pngMediaFrom(s, ids)
         val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
           decoder = Multimodal.PngHeaderDecoder).toDF()
@@ -1027,7 +1020,6 @@ object PipelineQueries {
             when(sig, element_at($"features", 4).cast("int")).as("bit_depth"),
             when(sig, element_at($"features", 5).cast("int")).as("color_type"),
             when(sig, element_at($"features", 6) === 1.0).as("crc_ok"))
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  doc_id % 11 <> 0 AS valid_sig,
@@ -1048,7 +1040,7 @@ object PipelineQueries {
     "mm_pdf_header" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ids = rd(s, d, "documents").select($"doc_id")
+        val ids = rd(s, d, "documents").select($"doc_id").orderBy($"doc_id")
         val media = Multimodal.pdfMediaFrom(s, ids)
         val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
           decoder = Multimodal.PdfHeaderDecoder).toDF()
@@ -1058,7 +1050,6 @@ object PipelineQueries {
             when(hdr, element_at($"features", 3).cast("int")).as("n_objects"),
             when(hdr, element_at($"features", 4).cast("int")).as("n_pages"),
             when(hdr, element_at($"features", 5) === 1.0).as("xref_ok"))
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  doc_id % 11 <> 0 AS valid_header,
@@ -1078,7 +1069,7 @@ object PipelineQueries {
     "mm_wav_header" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ids = rd(s, d, "documents").select($"doc_id")
+        val ids = rd(s, d, "documents").select($"doc_id").orderBy($"doc_id")
         val media = Multimodal.wavMediaFrom(s, ids)
         val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
           decoder = Multimodal.WavHeaderDecoder).toDF()
@@ -1089,7 +1080,6 @@ object PipelineQueries {
             when(ok, element_at($"features", 4).cast("int")).as("bits_per_sample"),
             when(ok, element_at($"features", 5).cast("int")).as("n_samples"),
             when(ok, element_at($"features", 6) === 1.0).as("rate_ok"))
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  doc_id % 11 <> 0 AS valid_riff,
@@ -1113,7 +1103,7 @@ object PipelineQueries {
     "mm_jpeg_header" -> Entry(
       (s, d) => {
         import s.implicits._
-        val ids = rd(s, d, "documents").select($"doc_id")
+        val ids = rd(s, d, "documents").select($"doc_id").orderBy($"doc_id")
         val media = Multimodal.jpegMediaFrom(s, ids)
         val dec = Multimodal.decodeFeatures(s, media, batchSize = 64,
           decoder = Multimodal.JpegHeaderDecoder).toDF()
@@ -1125,7 +1115,6 @@ object PipelineQueries {
             when(soi && walk, element_at($"features", 3).cast("int")).as("width"),
             when(soi && walk, element_at($"features", 4).cast("int")).as("n_components"),
             when(soi && walk, element_at($"features", 5) === 1.0).as("progressive"))
-          .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  doc_id % 11 <> 0 AS valid_soi,
@@ -1774,24 +1763,37 @@ object PipelineQueries {
         val txt = lower(substring(regexp_replace($"text", "[^ -~]", ""), 1, 400))
         // the regex-cleaned 400-char prefix is computed ONCE (checkpoint,
         // ~400 B/doc) instead of once for the model pass and again for
-        // the scoring pass; the frame is checkpointed already SORTED by
-        // doc_id so the scoring projection (1:1, order-preserving) needs
-        // no terminal sort — the r5 terminal orderBy re-ran the scoring
-        // scan for range-partition sampling.
+        // the scoring pass; the terminal sort then re-scores from the
+        // in-memory checkpoint, never from the raw scan.
         val docs = rd(s, d, "documents").select($"doc_id", txt.as("t"))
-          .orderBy($"doc_id").localCheckpoint()
-        val bgs = when(length($"t") >= 2,
-          transform(sequence(lit(1), length($"t") - 1),
-            i => $"t".substr(i, lit(2))))
-          .otherwise(array().cast("array<string>"))
-        val model: Seq[String] = docs.select(explode(bgs).as("b"))
-          .groupBy($"b").agg(count(lit(1)).as("n"))
-          .orderBy($"n".desc, $"b").limit(200)
-          .collect().map(_.getString(0)).toSeq
+          .localCheckpoint()
+        // model pass via the native bounded-state histogram aggregate
+        // (plans.BigramHistAgg): one compiled byte-loop pass, O(16384)
+        // state per task, ONE merged row — the r5 shape exploded one row
+        // per character position of the corpus through a Generate +
+        // gram-keyed hash aggregate (measured ~1.5 s of this query's
+        // ~2 s at sf0.1). Top-200 by (count desc, bigram asc) reads
+        // directly off the dense array: slot order IS lexicographic
+        // bigram order for the printable-ASCII alphabet `t` is cleaned
+        // to. Counts are identical to the exploded groupBy by
+        // construction (BigramHistAggSpec pins that equivalence).
+        val hist: Seq[Long] = docs
+          .agg(graft.plans.BigramHistAgg.charBigramHist($"t").as("h"))
+          .collect()(0).getSeq[Long](0)
+        val model: Seq[String] = hist.zipWithIndex
+          .filter(_._1 > 0L)
+          .sortBy { case (n, code) => (-n, code) }
+          .take(200)
+          .map { case (_, code) => graft.plans.BigramHistAgg.bigramOf(code) }
+        // narrow-output checkpoint + narrow sort (see ta_langid): the
+        // 200-pattern scorer runs once; without this the terminal sort's
+        // range sampling re-scored every row
         docs.select($"doc_id",
             when(length($"t") >= 2, length($"t") - 1).otherwise(0).as("n_bg"),
             bigramHits($"t", model).as("n_hit"))
           .withColumn("score", when($"n_bg" > 0, round($"n_hit" / $"n_bg", 6)))
+          .localCheckpoint()
+          .orderBy($"doc_id")
       },
       Some("""WITH t AS (SELECT doc_id,
              |  lower(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 400)) AS t
@@ -1933,8 +1935,8 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         rd(s, d, "documents")
-          .select($"doc_id", $"text").orderBy($"doc_id")
           .select($"doc_id", gopherStats($"text").as("g"))
+          .localCheckpoint()
           .select($"doc_id", $"g.n_words".as("n_words"),
             round(($"g.n_words" - $"g.n_distinct") / $"g.n_words", 6)
               .as("dup_word_frac"),
@@ -1942,6 +1944,7 @@ object PipelineQueries {
             round($"g.top_n" / ($"g.n_words" - 1), 6).as("top_bigram_frac"))
           .withColumn("keep", $"dup_word_frac" <= 0.2 &&
             coalesce($"top_bigram_frac" <= 0.18, lit(true)))
+          .orderBy($"doc_id")
       },
       Some("""WITH w AS (SELECT doc_id,
              |  list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws
@@ -1989,7 +1992,6 @@ object PipelineQueries {
             lit("count symbols # # # # # # here with the of and that"))
           .otherwise(concat($"text", lit(" the of and that have with")))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-          .orderBy($"doc_id")
         val ws = filter(split($"p", "\\s+"), x => length(x) > 0)
         val nWords = size(ws)
         val meanWlen = round(
@@ -2024,6 +2026,9 @@ object PipelineQueries {
             $"sym_ratio" <= 0.1 && $"bullet_frac" <= 0.9 &&
             $"ellipsis_frac" <= 0.3 && $"alpha_frac" >= 0.8 &&
             $"stop_hits" >= 2)
+          // narrow-output checkpoint + narrow sort (see ta_langid)
+          .localCheckpoint()
+          .orderBy($"doc_id")
       },
       Some("""WITH pay AS (SELECT doc_id, CASE doc_id % 4
              |    WHEN 0 THEN text
@@ -2075,7 +2080,6 @@ object PipelineQueries {
           .when(m3 === 1, concat(base, lit("\nlorem ipsum dolor sit amet.")))
           .otherwise(concat(base, lit("\nfunction f() { return; }.")))
         val df = rd(s, d, "documents").select($"doc_id", payload.as("p"))
-          .orderBy($"doc_id")
         val lines = split($"p", "\n")
         val keptLines = filter(lines, l =>
           l.rlike("[.!?\"]$") &&
@@ -2089,6 +2093,9 @@ object PipelineQueries {
             (nSent >= 5 && !lower($"p").contains("lorem ipsum") &&
               !$"p".contains("{")).as("keep"),
             substring(clean, 1, 60).as("clean_prefix"))
+          // narrow-output checkpoint + narrow sort (see ta_langid)
+          .localCheckpoint()
+          .orderBy($"doc_id")
       },
       Some(s"""WITH pay AS (SELECT doc_id,
               |  'This is a good first sentence.'||chr(10)||'Short line'||chr(10)||'Another proper sentence appears right here.'||chr(10)||'var x = 1; // javascript inline.'||chr(10)||'A third full sentence ends with punctuation.'||chr(10)||'A fourth complete sentence closes this paragraph.'||chr(10)||'A fifth sentence '||$sqlTok1||' makes the quota.'
@@ -2143,6 +2150,8 @@ object PipelineQueries {
             // stubbed decode: fake 2-dim feature from byte stats
             pmod(length(bin), lit(256)).as("fake_feat0"),
             pmod(ascii($"text") * 31 + length(bin), lit(997)).as("fake_feat1"))
+          // narrow-output checkpoint + narrow sort (see ta_langid)
+          .localCheckpoint()
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -2312,9 +2321,14 @@ object PipelineQueries {
     "ta_lm_perplexity" -> Entry(
       (s, d) => {
         import s.implicits._
-        lmNllFrame(s, d, sorted = true)
+        // narrow-output checkpoint + narrow sort (see ta_langid): the
+        // scoring scan runs once; the output exchange carries only
+        // (doc_id, n_tok, nll, keep)
+        lmNllFrame(s, d)
           .select($"doc_id", $"n_tok", $"nll")
           .withColumn("keep", coalesce($"nll" <= 3.45, lit(false)))
+          .localCheckpoint()
+          .orderBy($"doc_id")
       },
       Some(s"""WITH $sqlLmNllCte
               |SELECT doc_id, n_tok, nll,
@@ -2402,32 +2416,35 @@ object PipelineQueries {
         val B = 256
         val toks = filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0)
         val docs = rd(s, d, "documents").select($"doc_id", $"lang", toks.as("toks"))
-        // scoring pass over a doc_id-sorted scan (1:1 projection keeps
-        // the output order — no terminal sort re-running the scorer);
-        // the model pass keeps the unsorted scan (order-free aggregate)
-        val scoreDocs = rd(s, d, "documents").select($"doc_id", $"lang", $"text")
-          .orderBy($"doc_id").select($"doc_id", $"lang", toks.as("toks"))
-        val m: Seq[(Long, Long, Long)] = docs
-          .select($"lang",
-            explode(hashedGramBuckets($"toks", 2, DsirSeed, B)).as("bucket"))
-          .groupBy($"bucket")
-          .agg(count(when($"lang" === "en", lit(1))).as("tc"),
-            count(lit(1)).as("rc"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-        val (tT, tR) = (m.map(_._2).sum, m.map(_._3).sum)
+        // model pass via the native bounded-state histogram aggregate:
+        // target (en) and raw histograms in ONE scan — a null child is a
+        // no-op update, so the en arm is the when()-guarded token array
+        // (the r5 shape exploded one row per bigram occurrence through a
+        // Generate + bucket-keyed aggregate)
+        val mrow = docs.agg(
+            graft.plans.BigramHistAgg
+              .hashedGramHist(when($"lang" === "en", $"toks"), 2, DsirSeed, B).as("tc"),
+            graft.plans.BigramHistAgg
+              .hashedGramHist($"toks", 2, DsirSeed, B).as("rc"))
+          .collect()(0)
+        val (tcH, rcH) = (mrow.getSeq[Long](0), mrow.getSeq[Long](1))
+        val (tT, tR) = (tcH.sum, rcH.sum)
         def micro(x: Double): Long = math.rint(math.log(x) * 1e6).toLong
         // dense bucket -> micro-ln likelihood-ratio table; buckets no
         // bigram hashed to get lr = (0+1)/(0+1) = 1 (micro 0), unreachable
-        val lrm = m.map { case (b, tc, rc) =>
-          b -> micro((tc + 1.0) / (rc + 1.0)) }.toMap
-        val table = Array.tabulate(B)(b => lrm.getOrElse(b.toLong, 0L))
+        val table = Array.tabulate(B)(b =>
+          if (rcH(b) == 0L && tcH(b) == 0L) 0L
+          else micro((tcH(b) + 1.0) / (rcH(b) + 1.0)))
         val cMicro = micro((tR + B.toDouble) / (tT + B.toDouble))
-        scoreDocs
+        // narrow-output checkpoint + narrow sort (see ta_langid)
+        docs
           .select($"doc_id",
             greatest(size($"toks") - 1, lit(0)).cast("long").as("n_bg"),
             hashedGramMicroSum($"toks", 2, DsirSeed, table).as("sm"))
           .select($"doc_id", $"n_bg",
             round(($"sm" + $"n_bg" * lit(cMicro)) / 1e6, 6).as("weight"))
+          .localCheckpoint()
+          .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,
               |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
@@ -2559,6 +2576,7 @@ object PipelineQueries {
               .as("entropy_nats"))
           .withColumn("keep",
             coalesce($"entropy_nats".between(2.67, 3.5), lit(false)))
+          .orderBy($"doc_id")
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
              |  FROM documents),
