@@ -155,6 +155,12 @@ object TextFunctions {
     * runs of the lowercased text; fewer than n words → empty array).
     * Backed by the native codegen'd expression (graft.plans.WordGramsExpr).
     */
+  def alnumGrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.AlnumGramsExpr(GraftColumnBridge.expression(text), n))
+  }
+
   def wordGrams(text: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(

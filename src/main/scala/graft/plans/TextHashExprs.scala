@@ -192,6 +192,48 @@ object TextHashBridge {
     new GenericArrayData(out)
   }
 
+
+  /** Space-joined word n-grams under the ALNUM tokenizer
+    * (`filter(split(lower(text), "[^a-z0-9]+"), len > 0)` — the
+    * dd_exact_substring token stream), one compiled pass: same
+    * single-rejoin + substring-slicing trick as [[wordGrams]], but the
+    * token boundary is any non-[a-z0-9] char after lowercasing instead
+    * of whitespace. Fewer than n tokens yields an empty array.
+    */
+  def alnumGrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    def isTok(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    val words = new java.util.ArrayList[String]()
+    val L = str.length
+    var i = 0
+    while (i < L) {
+      while (i < L && !isTok(str.charAt(i))) i += 1
+      val st = i
+      while (i < L && isTok(str.charAt(i))) i += 1
+      if (i > st) words.add(str.substring(st, i))
+    }
+    val w = words.size
+    if (w < n) return new GenericArrayData(new Array[Any](0))
+    val sb = new java.lang.StringBuilder(str.length)
+    val starts = new Array[Int](w)
+    var k = 0
+    while (k < w) {
+      starts(k) = sb.length
+      sb.append(words.get(k))
+      if (k < w - 1) sb.append(' ')
+      k += 1
+    }
+    val joined = sb.toString
+    val out = new Array[Any](w - n + 1)
+    k = 0
+    while (k <= w - n) {
+      val end = starts(k + n - 1) + words.get(k + n - 1).length
+      out(k) = UTF8String.fromString(joined.substring(starts(k), end))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
   /** DISTINCT word n-grams of the text with their within-doc occurrence
     * counts, in first-occurrence order (LinkedHashMap — deterministic).
     * This is the row-local limit of map-side combining for gram-stream
@@ -465,6 +507,27 @@ case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.wordGrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
+/** `alnum_grams(text, n)` — space-joined word n-grams under the
+  * alnum tokenizer (`[^a-z0-9]+` boundaries after lower()), codegen'd;
+  * the window generator for the exact-substring dedup family (one
+  * compiled pass instead of the interpreted regex-split + filter +
+  * transform/sequence + slice + array_join chain).
+  */
+case class AlnumGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "alnum_grams n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "alnum_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashBridge.alnumGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashBridge.alnumGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): AlnumGramsExpr =
     copy(child = newChild)
 }
 

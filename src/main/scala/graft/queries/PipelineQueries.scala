@@ -265,14 +265,8 @@ object PipelineQueries {
     "sp_exact_substring_min" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val W = 8
-      val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
-        w => length(w) > 0)
       val wins = rd(s, d, "documents")
-        .select($"doc_id", seqToks.as("tk"))
-        .filter(size($"tk") >= W)
-        .select($"doc_id", explode(transform(
-          sequence(lit(0), size($"tk") - W),
-          i => array_join(slice($"tk", i + 1, lit(W)), " "))).as("win"))
+        .select($"doc_id", explode(alnumGrams($"text", W)).as("win"))
       // min per window via map-side-combined agg + equi-join back, NOT a
       // window function: a corpus-hot window (license header in millions
       // of docs) makes a Window partition one unsplittable straggler
@@ -2857,18 +2851,17 @@ object PipelineQueries {
         import s.implicits._
         val W = 8
         val cap = 64
-        val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
-          w => length(w) > 0)
         // no pre-distinct: collect_set dedups (doc_id, win) repeats inside
         // the ONE win-keyed aggregation, so the r5 .distinct() was a full
         // extra exchange+sort of every window string for nothing
-        // (guide §2.4 — remove shuffles outright; plan: 3 Exchange -> 2)
+        // (guide §2.4 — remove shuffles outright; plan: 3 Exchange -> 2).
+        // Window generation is the codegen'd alnum_grams expression: one
+        // compiled pass per row instead of the interpreted regex-split +
+        // filter + transform/sequence + slice + array_join chain (a doc
+        // with fewer than W tokens yields an empty array, preserving the
+        // r5 size(tk) >= W gate).
         val wins = rd(s, d, "documents")
-          .select($"doc_id", seqToks.as("tk"))
-          .filter(size($"tk") >= W)
-          .select($"doc_id", explode(transform(
-            sequence(lit(0), size($"tk") - W),
-            i => array_join(slice($"tk", i + 1, lit(W)), " "))).as("win"))
+          .select($"doc_id", explode(alnumGrams($"text", W)).as("win"))
         val grouped = wins.groupBy($"win")
           .agg(sort_array(collect_set($"doc_id")).as("ds"))
           .filter(size($"ds") >= 2 && size($"ds") <= cap)
@@ -2919,14 +2912,10 @@ object PipelineQueries {
         import org.apache.spark.sql.expressions.Window
         val W = 8
         val cap = 64
-        val seqToks = filter(split(lower($"text"), "[^a-z0-9]+"),
-          w => length(w) > 0)
+        // codegen'd window generation (see dd_exact_substring); posexplode
+        // preserves the window-position index the diagonal math needs
         val wins = rd(s, d, "documents")
-          .select($"doc_id", seqToks.as("tk"))
-          .filter(size($"tk") >= W)
-          .select($"doc_id", posexplode(transform(
-            sequence(lit(0), size($"tk") - W),
-            i => array_join(slice($"tk", i + 1, lit(W)), " "))))
+          .select($"doc_id", posexplode(alnumGrams($"text", W)))
           .withColumnRenamed("pos", "p").withColumnRenamed("col", "win")
         val grouped = wins.groupBy($"win")
           .agg(collect_list(struct($"doc_id", $"p")).as("occ"))
